@@ -1,0 +1,251 @@
+package jsonld.core
+
+import scala.collection.mutable
+
+/** RDF node / quad model and N-Quads serialization (RDF 1.1 N-Quads).
+  * A node is a 3-variant sum; equality is full field equality (that is what
+  * quad dedup requires). All literal values stay lexical strings —
+  * canonical XSD forms are produced at conversion time and must never be
+  * coerced (cf. SURVEY.md §1.2).
+  */
+object Rdf {
+  val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+  val XsdNs = "http://www.w3.org/2001/XMLSchema#"
+
+  val RdfType: String = RdfNs + "type"
+  val RdfFirst: String = RdfNs + "first"
+  val RdfRest: String = RdfNs + "rest"
+  val RdfNil: String = RdfNs + "nil"
+  val RdfLangString: String = RdfNs + "langString"
+  val RdfJson: String = RdfNs + "JSON"
+  val RdfList: String = RdfNs + "List"
+  val RdfDirection: String = RdfNs + "direction"
+  val RdfLanguage: String = RdfNs + "language"
+  val RdfValue: String = RdfNs + "value"
+
+  val XsdBoolean: String = XsdNs + "boolean"
+  val XsdInteger: String = XsdNs + "integer"
+  val XsdDouble: String = XsdNs + "double"
+  val XsdFloat: String = XsdNs + "float"
+  val XsdDecimal: String = XsdNs + "decimal"
+  val XsdString: String = XsdNs + "string"
+
+  sealed trait RdfNode extends Serializable {
+    def value: String
+    def isIri: Boolean = isInstanceOf[RIri]
+    def isBlank: Boolean = isInstanceOf[RBlank]
+    def isLiteral: Boolean = isInstanceOf[RLiteral]
+  }
+  final case class RIri(value: String) extends RdfNode
+  final case class RBlank(value: String) extends RdfNode
+  final case class RLiteral(value: String, datatype: String, language: String) extends RdfNode
+  object RLiteral {
+    def apply(value: String, datatype: String, language: String): RLiteral =
+      new RLiteral(value, if (datatype == null || datatype.isEmpty) XsdString else datatype,
+        if (language == null) "" else language)
+  }
+
+  /** graph == null means the default graph. */
+  final case class Quad(subject: RdfNode, predicate: RdfNode, obj: RdfNode, graph: RdfNode)
+
+  /** graph name → quads, with "@default" for the default graph. */
+  final class RdfDataset extends Serializable {
+    val graphs: mutable.LinkedHashMap[String, mutable.ArrayBuffer[Quad]] =
+      mutable.LinkedHashMap("@default" -> mutable.ArrayBuffer.empty[Quad])
+
+    def addQuads(graphName: String, quads: Iterable[Quad]): Unit =
+      graphs.getOrElseUpdate(graphName, mutable.ArrayBuffer.empty) ++= quads
+
+    def allQuads: Seq[(String, Quad)] =
+      graphs.toSeq.flatMap { case (g, qs) => qs.map(g -> _) }
+
+    def graphNames: Seq[String] = graphs.keys.toSeq
+  }
+
+  // --------------------------------------------------------- serialization
+
+  def escape(str: String): String = {
+    val sb = new StringBuilder(str.length + 8)
+    var i = 0
+    while (i < str.length) {
+      str.charAt(i) match {
+        case '\\' => sb.append("\\\\")
+        case '"' => sb.append("\\\"")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** One N-Quads line (with trailing " .\n"). graphName "" = default graph. */
+  def toNQuad(q: Quad, graphName: String): String = {
+    val sb = new StringBuilder(128)
+    q.subject match {
+      case RIri(v) => sb.append('<').append(escape(v)).append('>')
+      case n => sb.append(n.value)
+    }
+    q.predicate match {
+      case RIri(v) => sb.append(" <").append(escape(v)).append("> ")
+      case n => sb.append(' ').append(escape(n.value)).append(' ')
+    }
+    q.obj match {
+      case RIri(v) => sb.append('<').append(escape(v)).append('>')
+      case RBlank(v) => sb.append(v)
+      case RLiteral(v, dt, lang) =>
+        sb.append('"').append(escape(v)).append('"')
+        if (dt == RdfLangString) sb.append('@').append(lang)
+        else if (dt != XsdString) sb.append("^^<").append(escape(dt)).append('>')
+    }
+    if (graphName != null && graphName.nonEmpty && graphName != "@default") {
+      if (graphName.startsWith("_:")) sb.append(' ').append(graphName)
+      else sb.append(" <").append(escape(graphName)).append('>')
+    }
+    sb.append(" .\n")
+    sb.toString
+  }
+
+  def datasetToNQuads(ds: RdfDataset): String = {
+    val sb = new StringBuilder
+    ds.graphs.foreach { case (graphName, quads) =>
+      val g = if (graphName == "@default") "" else graphName
+      quads.foreach(q => sb.append(toNQuad(q, g)))
+    }
+    sb.toString
+  }
+
+  // ------------------------------------------------------- canonical forms
+
+  private val canonicalDoubleRe = "(\\d)0*E\\+?(-)?0*(\\d)".r
+
+  /** Canonical xsd:double lexical form, byte-compatible with printf
+    * `%1.15E` + exponent cleanup (e.g. 1.1E1, 5.0E-1, 0.0E0).
+    */
+  def canonicalDouble(v: Double): String = {
+    val s = String.format(java.util.Locale.ROOT, "%1.15E", java.lang.Double.valueOf(v))
+    canonicalDoubleRe.replaceAllIn(s, m => {
+      val sign = if (m.group(2) != null) m.group(2) else ""
+      m.group(1) + "E" + sign + m.group(3)
+    })
+  }
+
+  // ------------------------------------------------------------ validation
+
+  private val validLanguageRe = "^[a-zA-Z]+(-[a-zA-Z0-9]+)*$".r
+
+  /** Plausibility check for http(s) IRIs, mirroring the behavior the W3C
+    * toRdf suite expects (quads with junk http IRIs are dropped).
+    */
+  def validIri(v: String): Boolean = {
+    if (!(v.startsWith("http://") || v.startsWith("https://"))) return true
+    if (v.length < 10 || v.length >= 2083) return false
+    try {
+      val u = new java.net.URI(v.replace(" ", "%20"))
+      val host = u.getHost
+      if (host == null || host.isEmpty || host.startsWith(".") || host.endsWith("-")) return false
+      if (v.contains(" ")) return false
+      true
+    } catch { case _: Exception => false }
+  }
+
+  def quadValid(q: Quad): Boolean = {
+    def nodeOk(n: RdfNode): Boolean = n match {
+      case null => true
+      case RIri(v) => validIri(v)
+      case RLiteral(_, dt, lang) =>
+        (lang == null || lang.isEmpty || validLanguageRe.matches(lang)) &&
+          (dt == null || dt.isEmpty || validIri(dt))
+      case _ => true
+    }
+    nodeOk(q.subject) && nodeOk(q.predicate) && nodeOk(q.obj) && nodeOk(q.graph)
+  }
+
+  // --------------------------------------------------------------- parsing
+
+  // RDF 1.1 N-Quads grammar, regex-based line parser.
+  private val IriPat = "<([^<>\\s]*)>"
+  private val BnodePat = "(_:[^\\s]+)"
+  private val LiteralPat = "\"((?:[^\"\\\\]|\\\\.)*)\"(?:@([a-zA-Z]+(?:-[a-zA-Z0-9]+)*)|\\^\\^<([^<>\\s]*)>)?"
+  private val lineRe =
+    (s"^\\s*(?:$IriPat|$BnodePat)\\s+(?:$IriPat|$BnodePat)\\s+(?:$IriPat|$BnodePat|$LiteralPat)" +
+      s"\\s*(?:(?:$IriPat|$BnodePat)\\s*)?\\.\\s*(?:#.*)?$$").r
+  private val emptyRe = "^\\s*(#.*)?$".r
+
+  def unescape(s: String): String = {
+    if (!s.contains('\\')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't' => sb.append('\t'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case '"' => sb.append('"'); i += 2
+          case '\'' => sb.append('\''); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case 'u' =>
+            val cp = Integer.parseInt(s.substring(i + 2, i + 6), 16)
+            sb.append(cp.toChar); i += 6
+          case 'U' =>
+            val cp = Integer.parseInt(s.substring(i + 2, i + 10), 16)
+            sb.appendAll(Character.toChars(cp)); i += 10
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Parse an N-Quads document into a dataset, deduplicating quads within
+    * each graph (set semantics, as the RDF data model requires).
+    */
+  def parseNQuads(input: String): RdfDataset = {
+    val ds = new RdfDataset
+    val seen = mutable.HashMap.empty[String, mutable.HashSet[Quad]]
+    var lineNo = 0
+    input.split("\n", -1).foreach { line =>
+      lineNo += 1
+      if (!emptyRe.matches(line)) {
+        lineRe.findFirstMatchIn(line) match {
+          case Some(m) =>
+            val subject: RdfNode =
+              if (m.group(1) != null) RIri(unescape(m.group(1))) else RBlank(m.group(2))
+            val predicate: RdfNode =
+              if (m.group(3) != null) RIri(unescape(m.group(3))) else RBlank(m.group(4))
+            val obj: RdfNode =
+              if (m.group(5) != null) RIri(unescape(m.group(5)))
+              else if (m.group(6) != null) RBlank(m.group(6))
+              else {
+                val value = unescape(m.group(7))
+                val lang = m.group(8)
+                val dt = if (m.group(9) != null) unescape(m.group(9))
+                         else if (lang != null) RdfLangString
+                         else XsdString
+                RLiteral(value, dt, if (lang == null) "" else lang)
+              }
+            val graphName =
+              if (m.group(10) != null) unescape(m.group(10))
+              else if (m.group(11) != null) m.group(11)
+              else "@default"
+            val graphNode: RdfNode =
+              if (graphName == "@default") null
+              else if (graphName.startsWith("_:")) RBlank(graphName)
+              else RIri(graphName)
+            val q = Quad(subject, predicate, obj, graphNode)
+            val set = seen.getOrElseUpdate(graphName, mutable.HashSet.empty)
+            if (set.add(q)) ds.addQuads(graphName, Seq(q))
+          case None =>
+            throw JsonLdError(JsonLdError.SyntaxError, s"error while parsing N-Quads; invalid quad. line: $lineNo")
+        }
+      }
+    }
+    ds
+  }
+}

@@ -1,0 +1,150 @@
+package jsonld.core
+
+import Json._
+import JsonLdUtils._
+import Rdf._
+import scala.collection.mutable
+
+/** Deserialize JSON-LD to RDF (JSON-LD 1.1 API §8): expanded document →
+  * node map → quads per graph. Deterministic: node ids and graph names are
+  * iterated in sorted order (the output is order-insensitive up to blank
+  * node relabeling, which canonicalization fixes downstream).
+  */
+object ToRdf {
+
+  def toRdf(expandedInput: Any, opts: JsonLdOptions): RdfDataset = {
+    val issuer = new IdentifierIssuer("_:b")
+    val nodeMap = Json.obj()
+    nodeMap("@default") = Json.obj()
+    NodeMap.generateNodeMap(expandedInput, nodeMap, "@default", issuer, null, "", null)
+
+    val dataset = new RdfDataset
+    Json.sortedKeys(nodeMap).foreach { graphName =>
+      if (!isRelativeIri(graphName)) {
+        val graph = nodeMap(graphName).asInstanceOf[JObj]
+        graphToRdf(dataset, graphName, graph, issuer, opts.produceGeneralizedRdf)
+      }
+    }
+    dataset
+  }
+
+  def graphToRdf(ds: RdfDataset, graphName: String, graph: JObj,
+                 issuer: IdentifierIssuer, produceGeneralizedRdf: Boolean): Unit = {
+    val triples = mutable.ArrayBuffer.empty[Quad]
+    val graphNode: RdfNode =
+      if (graphName == "@default") null
+      else if (graphName.startsWith("_:")) RBlank(graphName)
+      else RIri(graphName)
+
+    Json.sortedKeys(graph).foreach { id =>
+      if (!isRelativeIri(id)) {
+        val node = graph(id).asInstanceOf[JObj]
+        Json.sortedKeys(node).foreach { property0 =>
+          var property = property0
+          var values: JArr = null
+          if (property == "@type") {
+            values = node("@type").asInstanceOf[JArr]
+            property = RdfType
+          } else if (isKeyword(property)) {
+            // skip
+          } else if (property.startsWith("_:") && !produceGeneralizedRdf) {
+            // skip
+          } else if (isRelativeIri(property)) {
+            // skip
+          } else {
+            values = node(property).asInstanceOf[JArr]
+          }
+
+          if (values != null) {
+            val subject: RdfNode = if (id.startsWith("_:")) RBlank(id) else RIri(id)
+            val predicate: RdfNode = if (property.startsWith("_:")) RBlank(property) else RIri(property)
+            values.foreach { item =>
+              val obj = objectToRdf(item, issuer, graphNode, triples)
+              if (obj != null) triples += Quad(subject, predicate, obj, graphNode)
+            }
+          }
+        }
+      }
+    }
+    ds.addQuads(graphName, triples.filter(quadValid))
+  }
+
+  /** Value/node object → RDF node; lists emit rdf:first/rest/nil cons chains
+    * into `triples` as a side effect.
+    */
+  def objectToRdf(item: Any, issuer: IdentifierIssuer, graph: RdfNode,
+                  triples: mutable.ArrayBuffer[Quad]): RdfNode = {
+    if (isValueObject(item)) {
+      val itemMap = item.asInstanceOf[JObj]
+      val value = itemMap.getOrElse("@value", null)
+      var datatype = itemMap.getOrElse("@type", null) match {
+        case s: String => s
+        case _ => null
+      }
+      if (datatype == "@json") datatype = RdfJson
+
+      value match {
+        case b: java.lang.Boolean =>
+          RLiteral(b.toString, if (datatype == null) XsdBoolean else datatype, "")
+        case n if Json.isNumber(n) =>
+          // All JSON numbers behave as doubles; integral values map to
+          // xsd:integer regardless of their lexical form ("1.0" → "1").
+          val d = Json.numberValue(n)
+          val isInteger = d == d.toLong.toDouble
+          if ((!isInteger) || XsdDouble == datatype)
+            RLiteral(canonicalDouble(d), if (datatype == null) XsdDouble else datatype, "")
+          else
+            RLiteral(d.toLong.toString, if (datatype == null) XsdInteger else datatype, "")
+        case _ =>
+          if (itemMap.contains("@language")) {
+            val lang = itemMap("@language").asInstanceOf[String]
+            RLiteral(value.asInstanceOf[String], if (datatype == null) RdfLangString else datatype, lang)
+          } else if (datatype == null) {
+            RLiteral(value.asInstanceOf[String], XsdString, "")
+          } else if (datatype != RdfJson) {
+            RLiteral(value.asInstanceOf[String], datatype, "")
+          } else {
+            val canonical =
+              try Jcs.canonicalize(value)
+              catch { case e: Exception => "JSON Canonicalization error " + e.getMessage }
+            RLiteral(canonical, datatype, "")
+          }
+      }
+    } else if (isListObject(item)) {
+      parseList(item.asInstanceOf[JObj]("@list").asInstanceOf[JArr], issuer, graph, triples)
+    } else {
+      val id = item match {
+        case m: JObj @unchecked => m.getOrElse("@id", null) match {
+          case s: String => if (isRelativeIri(s)) return null else s
+          case _ => return null
+        }
+        case s: String => s
+        case _ => return null
+      }
+      if (id.startsWith("_:")) RBlank(id) else RIri(id)
+    }
+  }
+
+  private def parseList(list: JArr, issuer: IdentifierIssuer, graph: RdfNode,
+                        triples: mutable.ArrayBuffer[Quad]): RdfNode = {
+    val nilIri = RIri(RdfNil)
+    val first = RIri(RdfFirst)
+    val rest = RIri(RdfRest)
+    if (list.isEmpty) return nilIri
+    val res = RBlank(issuer.getId(""))
+    var subj: RdfNode = res
+    var i = 0
+    while (i < list.size - 1) {
+      val obj = objectToRdf(list(i), issuer, graph, triples)
+      val next = RBlank(issuer.getId(""))
+      triples += Quad(subj, first, obj, graph)
+      triples += Quad(subj, rest, next, graph)
+      subj = next
+      i += 1
+    }
+    val obj = objectToRdf(list.last, issuer, graph, triples)
+    triples += Quad(subj, first, obj, graph)
+    triples += Quad(subj, rest, nilIri, graph)
+    res
+  }
+}
