@@ -1,13 +1,369 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+import jsonld.spark._
+import graft.ops._
+
+/** Driver contract — one `queries` entry per implemented operator family
+  * (SURVEY.md §2 + training-data ops), with DuckDB oracle SQL for every
+  * SQL-expressible query. Column names/ordering match the oracles exactly
+  * (the driver sorts columns by name and hashes values).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: the KG-construction spine (detect → expand → toRDF →
+    * URDNA2015 → dedup) over the synthetic corpus at sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    jsonldPipelineQuads(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------ JSON-LD spine
+
+  private def runPipeline(spark: SparkSession, corpus: org.apache.spark.sql.Dataset[RepoFile])
+      : (org.apache.spark.sql.Dataset[Pipeline.PipeRow], Pipeline.Counters) = {
+    val counters = Pipeline.newCounters(spark)
+    val ctxCache = spark.sparkContext.broadcast(Map.empty[String, String])
+    val docs = Pipeline.detectStage(corpus, counters)
+    (Pipeline.transformStage(docs, ctxCache, counters), counters)
+  }
+
+  def jsonldPipelineQuads(spark: SparkSession, sfDir: String): DataFrame = {
+    val (pipe, _) = runPipeline(spark, Corpus.corpusFlat(spark, sfDir))
+    Pipeline.dedupQuads(Pipeline.quads(pipe))
+      .select(col("subj"), col("pred"), col("obj"), col("objDatatype").as("dt"))
+      .orderBy("subj", "pred", "obj", "dt")
+  }
+
+  def jsonldC14nBnodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val (pipe, _) = runPipeline(spark, Corpus.corpusWithAuthors(spark, sfDir))
+    Pipeline.dedupQuads(Pipeline.quads(pipe))
+      .select(col("subj"), col("pred"), col("obj"), col("objDatatype").as("dt"))
+      .orderBy("subj", "pred", "obj", "dt")
+  }
+
+  def jsonldEntityLink(spark: SparkSession, sfDir: String): DataFrame = {
+    val (pipe, _) = runPipeline(spark, Corpus.corpusFlat(spark, sfDir))
+    val quads = Pipeline.dedupQuads(Pipeline.quads(pipe))
+    EntityLink.linkPredicates(quads, Corpus.vocabDictionary(spark))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_quads"))
+      .orderBy("label")
+  }
+
+  def jsonldEntityLinkSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    val (pipe, _) = runPipeline(spark, Corpus.corpusFlat(spark, sfDir))
+    val quads = Pipeline.dedupQuads(Pipeline.quads(pipe))
+    EntityLink.saltedJoin(quads, Corpus.vocabDictionary(spark), bigKey = "pred", smallKey = "iri")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_quads"))
+      .orderBy("label")
+  }
+
+  def jsonldQuarantine(spark: SparkSession, sfDir: String): DataFrame = {
+    val (pipe, _) = runPipeline(spark, Corpus.corpusWithNoise(spark, sfDir))
+    Pipeline.quarantine(pipe).toDF()
+      .groupBy(col("errorCode"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("errorCode")
+  }
+
+  // --------------------------------------------------------- relational
+
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def q3Revenue(spark: SparkSession, dir: String): DataFrame = {
+    val customer = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val orders = t(spark, dir, "orders")
+    val lineitem = t(spark, dir, "lineitem")
+    lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  def q5Region(spark: SparkSession, dir: String): DataFrame = {
+    val region = t(spark, dir, "region")
+    val nation = t(spark, dir, "nation")
+    val customer = t(spark, dir, "customer")
+    val orders = t(spark, dir, "orders")
+    val lineitem = t(spark, dir, "lineitem")
+    lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  def qWindowTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rnk"),
+        round(col("o_totalprice"), 2).as("totalprice"))
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+  }
+
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  // ------------------------------------------------- training-data ops
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.exactGroups(t(spark, dir, "documents"), col("text"), col("doc_id"))
+      .orderBy("text_sha256")
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.minhashNearDuplicates(t(spark, dir, "documents"), col("text"), col("doc_id"),
+        n = 3, k = 32, bands = 16, threshold = 0.2)
+      .orderBy("doc_a", "doc_b")
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.simhashBuckets(t(spark, dir, "documents"), col("text"), col("doc_id"))
+      .orderBy("doc_id")
+
+  def neighborJaccard(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.neighborJaccard(t(spark, dir, "documents"), col("text"), col("doc_id"))
+      .orderBy("doc_id")
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val scored = docs.select(col("doc_id") +: TextOps.langIdColumns(col("text")): _*)
+    scored.select(col("doc_id"), col("s_en"), col("s_de"), col("s_fr"), col("s_es"),
+        TextOps.langIdLabel(col("s_en"), col("s_de"), col("s_fr"), col("s_es")).as("predicted"))
+      .orderBy("doc_id")
+  }
+
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tokenCounts(t(spark, dir, "documents"), col("text"), col("doc_id"))
+      .orderBy("doc_id")
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    TextOps.qualityScores(t(spark, dir, "documents"), col("text"), col("doc_id"))
+      .orderBy("doc_id")
+
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  private def queryVector(spark: SparkSession, dir: String): Seq[Double] = {
+    val row = t(spark, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding")).head()
+    row.getSeq[Float](0).map(_.toDouble)
+  }
+
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.bruteForceTopK(
+      t(spark, dir, "embeddings").filter(col("vec_id") =!= 0),
+      col("embedding"), col("vec_id"), queryVector(spark, dir), k = 10)
+
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.lshTopK(
+      t(spark, dir, "embeddings").filter(col("vec_id") =!= 0),
+      col("embedding"), col("vec_id"), queryVector(spark, dir), k = 10, planes = 6)
+
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.featureSummary(
+      MultimodalOps.extractFeatures(MultimodalOps.mediaTable(spark, dir)))
+      .orderBy("kind")
+
+  // --------------------------------------------------------------- map
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // JSON-LD KG-construction spine
+    "jsonld_pipeline_quads" -> (jsonldPipelineQuads(_, _)),
+    "jsonld_c14n_bnodes" -> (jsonldC14nBnodes(_, _)),
+    "jsonld_entity_link" -> (jsonldEntityLink(_, _)),
+    "jsonld_entity_link_salted" -> (jsonldEntityLinkSalted(_, _)),
+    "jsonld_quarantine" -> (jsonldQuarantine(_, _)),
+    // relational operators
+    "q1_pricing" -> (q1Pricing(_, _)),
+    "q3_revenue" -> (q3Revenue(_, _)),
+    "q5_region" -> (q5Region(_, _)),
+    "q_window_top_orders" -> (qWindowTopOrders(_, _)),
+    "q_sessionize" -> (qSessionize(_, _)),
+    // dedup family
+    "dedup_exact" -> (dedupExact(_, _)),
+    "dedup_minhash_lsh" -> (dedupMinhash(_, _)),
+    "dedup_simhash" -> (dedupSimhash(_, _)),
+    "neighbor_jaccard" -> (neighborJaccard(_, _)),
+    // text analysis
+    "lang_id" -> (langId(_, _)),
+    "token_count" -> (tokenCount(_, _)),
+    "text_quality" -> (textQuality(_, _)),
+    "doc_fingerprint" -> (docFingerprint(_, _)),
+    // similarity search
+    "ann_cosine_topk" -> (annBruteForce(_, _)),
+    "ann_lsh_topk" -> (annLsh(_, _)),
+    // multimodal plumbing
+    "multimodal_features" -> (multimodalFeatures(_, _))
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  private val V = Corpus.Vocab
+  private val D = Corpus.DocNs
+  private val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+  private val XsdString = "http://www.w3.org/2001/XMLSchema#string"
+  private val XsdInteger = "http://www.w3.org/2001/XMLSchema#integer"
+
+  private val wordsSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')"
+  private val dwordsSql = s"list_distinct($wordsSql)"
+
+  private def stopList(s: Seq[String]): String =
+    s.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def oracleSql: Map[String, String] = Map(
+    "jsonld_pipeline_quads" ->
+      s"""WITH q AS (
+         |  SELECT '$D'||doc_id AS subj, '$RdfType' AS pred, '${V}Document' AS obj, '' AS dt FROM documents
+         |  UNION ALL SELECT '$D'||doc_id, '${V}chars', CAST(n_chars AS VARCHAR), '$XsdInteger' FROM documents
+         |  UNION ALL SELECT '$D'||doc_id, '${V}lang', lang, '$XsdString' FROM documents
+         |  UNION ALL SELECT '$D'||doc_id, '${V}source', source, '$XsdString' FROM documents
+         |  UNION ALL SELECT '$D'||doc_id, '${V}text', text, '$XsdString' FROM documents
+         |) SELECT subj, pred, obj, dt FROM q ORDER BY subj, pred, obj, dt""".stripMargin,
+    "jsonld_c14n_bnodes" ->
+      s"""WITH q AS (
+         |  SELECT '$D'||doc_id AS subj, '${V}author' AS pred, '_:c14n0' AS obj, '' AS dt FROM documents
+         |  UNION ALL SELECT DISTINCT '_:c14n0', '${V}name', 'Author '||(doc_id % 7), '$XsdString' FROM documents
+         |) SELECT subj, pred, obj, dt FROM q ORDER BY subj, pred, obj, dt""".stripMargin,
+    "jsonld_entity_link" ->
+      s"""WITH c AS (SELECT count(*) AS n FROM documents)
+         |SELECT label, n_quads FROM (
+         |  SELECT 'CharacterCount' AS label, n AS n_quads FROM c
+         |  UNION ALL SELECT 'Language', n FROM c
+         |  UNION ALL SELECT 'Source', n FROM c
+         |  UNION ALL SELECT 'Text', n FROM c
+         |  UNION ALL SELECT 'Type', n FROM c
+         |) ORDER BY label""".stripMargin,
+    "jsonld_entity_link_salted" ->
+      s"""WITH c AS (SELECT count(*) AS n FROM documents)
+         |SELECT label, n_quads FROM (
+         |  SELECT 'CharacterCount' AS label, n AS n_quads FROM c
+         |  UNION ALL SELECT 'Language', n FROM c
+         |  UNION ALL SELECT 'Source', n FROM c
+         |  UNION ALL SELECT 'Text', n FROM c
+         |  UNION ALL SELECT 'Type', n FROM c
+         |) ORDER BY label""".stripMargin,
+    "jsonld_quarantine" ->
+      """SELECT 'invalid input' AS errorCode, count(*) AS n_docs
+        |FROM documents WHERE doc_id % 17 = 3""".stripMargin,
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_revenue" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_window_top_orders" ->
+      """SELECT o_custkey, o_orderkey, rnk, round(o_totalprice, 2) AS totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+    "q_sessionize" ->
+      """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |    FROM events))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_exact" ->
+      """SELECT sha256(text) AS text_sha256, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "neighbor_jaccard" -> {
+      val wa = "list_distinct(list_filter(string_split_regex(lower(a.text), '[^a-z]+'), x -> x <> ''))"
+      val wb = "list_distinct(list_filter(string_split_regex(lower(b.text), '[^a-z]+'), x -> x <> ''))"
+      s"""SELECT a.doc_id AS doc_id,
+         |  round(len(list_intersect($wa, $wb)) * 1.0 /
+         |    greatest(len(list_distinct(list_concat($wa, $wb))), 1), 4) AS jaccard_next
+         |FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+         |ORDER BY a.doc_id""".stripMargin
+    },
+    "lang_id" ->
+      s"""SELECT doc_id,
+         |  len(list_intersect($dwordsSql, ${stopList(TextOps.StopEn)})) AS s_en,
+         |  len(list_intersect($dwordsSql, ${stopList(TextOps.StopDe)})) AS s_de,
+         |  len(list_intersect($dwordsSql, ${stopList(TextOps.StopFr)})) AS s_fr,
+         |  len(list_intersect($dwordsSql, ${stopList(TextOps.StopEs)})) AS s_es,
+         |  CASE
+         |    WHEN len(list_intersect($dwordsSql, ${stopList(TextOps.StopEn)})) >= len(list_intersect($dwordsSql, ${stopList(TextOps.StopDe)}))
+         |     AND len(list_intersect($dwordsSql, ${stopList(TextOps.StopEn)})) >= len(list_intersect($dwordsSql, ${stopList(TextOps.StopFr)}))
+         |     AND len(list_intersect($dwordsSql, ${stopList(TextOps.StopEn)})) >= len(list_intersect($dwordsSql, ${stopList(TextOps.StopEs)})) THEN 'en'
+         |    WHEN len(list_intersect($dwordsSql, ${stopList(TextOps.StopDe)})) >= len(list_intersect($dwordsSql, ${stopList(TextOps.StopFr)}))
+         |     AND len(list_intersect($dwordsSql, ${stopList(TextOps.StopDe)})) >= len(list_intersect($dwordsSql, ${stopList(TextOps.StopEs)})) THEN 'de'
+         |    WHEN len(list_intersect($dwordsSql, ${stopList(TextOps.StopFr)})) >= len(list_intersect($dwordsSql, ${stopList(TextOps.StopEs)})) THEN 'fr'
+         |    ELSE 'es' END AS predicted
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "token_count" ->
+      s"""SELECT doc_id, len($wordsSql) AS n_words, length(text) AS n_chars,
+         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subword_est
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  len($wordsSql) AS n_words,
+         |  round(length(text) * 1.0 / greatest(len($wordsSql), 1), 4) AS chars_per_word,
+         |  round((length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) * 1.0 / greatest(length(text), 1), 4) AS punct_ratio,
+         |  round((length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))) * 1.0 / greatest(length(text), 1), 4) AS alpha_ratio,
+         |  round(len(list_intersect($dwordsSql, ${stopList(TextOps.StopEn ++ TextOps.StopDe ++ TextOps.StopFr ++ TextOps.StopEs)})) * 1.0 / greatest(len($dwordsSql), 1), 4) AS stopword_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ann_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, round(list_cosine_similarity(
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |    list_transform(qv, x -> CAST(x AS DOUBLE))), 4) AS cosine
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+  )
 }

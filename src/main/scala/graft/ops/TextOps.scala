@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: tokenization, language ID,
+  * quality scoring, token counting, fingerprinting. Everything is built
+  * from codegen'd `org.apache.spark.sql.functions` — no UDFs — so these
+  * run inside whole-stage codegen and scale like projections.
+  *
+  * Tokenization is deliberately defined as `lower → split on [^a-z]+ →
+  * drop empties`: simple enough to express identically in any ANSI SQL
+  * engine (the DuckDB oracles replicate it verbatim).
+  */
+object TextOps {
+
+  /** Lowercase word array with empties removed. */
+  def words(text: Column): Column =
+    array_remove(split(lower(text), "[^a-z]+"), "")
+
+  def distinctWords(text: Column): Column = array_distinct(words(text))
+
+  // Small per-language stopword lists for the n-gram/stopword language-ID
+  // heuristic. Deliberately tiny & fixed: the heuristic (count distinct
+  // stopword hits per language, argmax with fixed precedence) must be
+  // reproducible in plain SQL.
+  val StopEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+  val StopDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu")
+  val StopFr: Seq[String] = Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que")
+  val StopEs: Seq[String] = Seq("el", "los", "es", "un", "una", "en", "para", "con", "por", "del")
+
+  private def stopHits(text: Column, stop: Seq[String]): Column =
+    size(array_intersect(distinctWords(text), array(stop.map(lit): _*)))
+
+  /** Language-ID scores + argmax label (ties break en > de > fr > es). */
+  def langIdColumns(text: Column): Seq[Column] = {
+    val sEn = stopHits(text, StopEn).as("s_en")
+    val sDe = stopHits(text, StopDe).as("s_de")
+    val sFr = stopHits(text, StopFr).as("s_fr")
+    val sEs = stopHits(text, StopEs).as("s_es")
+    Seq(sEn, sDe, sFr, sEs)
+  }
+
+  def langIdLabel(sEn: Column, sDe: Column, sFr: Column, sEs: Column): Column =
+    when(sEn >= sDe && sEn >= sFr && sEn >= sEs, "en")
+      .when(sDe >= sFr && sDe >= sEs, "de")
+      .when(sFr >= sEs, "fr")
+      .otherwise("es")
+
+  /** Whitespace token count + a BPE-ish subword estimate (≈4 chars/token —
+    * the standard rule of thumb for byte-pair encodings).
+    */
+  def tokenCounts(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.select(
+      id.as("doc_id"),
+      size(words(text)).cast("long").as("n_words"),
+      length(text).cast("long").as("n_chars"),
+      ceil(length(text) / 4.0).cast("long").as("n_subword_est"))
+
+  /** Quality scores: word stats + punctuation/alpha/stopword ratios,
+    * rounded to 4 decimals for cross-engine comparability.
+    */
+  def qualityScores(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val w = words(text)
+    val nChars = length(text).cast("double")
+    val punct = length(text) - length(regexp_replace(text, "[\\.,;:!\\?]", ""))
+    val alpha = length(text) - length(regexp_replace(text, "[a-zA-Z]", ""))
+    val stopAll = array((StopEn ++ StopDe ++ StopFr ++ StopEs).map(lit): _*)
+    val stopCnt = size(array_intersect(array_distinct(w), stopAll))
+    df.select(
+      id.as("doc_id"),
+      size(w).cast("long").as("n_words"),
+      round(nChars / greatest(size(w).cast("double"), lit(1.0)), 4).as("chars_per_word"),
+      round(punct.cast("double") / greatest(nChars, lit(1.0)), 4).as("punct_ratio"),
+      round(alpha.cast("double") / greatest(nChars, lit(1.0)), 4).as("alpha_ratio"),
+      round(stopCnt.cast("double") / greatest(size(array_distinct(w)).cast("double"), lit(1.0)), 4)
+        .as("stopword_ratio"))
+  }
+
+  /** Rolling hash-chain fingerprint over the word sequence (order
+    * sensitive, like a Karp-Rabin fingerprint but overflow-free under
+    * ANSI mode: each step rehashes the accumulator with the next word).
+    * Deterministic across runs/partitions; not SQL-portable (xxhash64),
+    * so rows-only verified.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(words(text), lit(0L),
+      (acc, w) => xxhash64(concat(acc.cast("string"), lit("|"), w)))
+
+  /** Word n-gram shingles as space-joined strings (n ≥ 1). */
+  def shingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+      .otherwise(array())
+  }
+}

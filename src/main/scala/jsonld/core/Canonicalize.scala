@@ -32,7 +32,15 @@ final class Canonicalizer(algorithm: String = "URDNA2015",
   }
 
   /** Returns canonical, sorted N-Quads lines (each with trailing ".\n"). */
-  def canonicalLines(dataset: RdfDataset): Seq[String] = {
+  def canonicalLines(dataset: RdfDataset): Seq[String] = process(dataset)._1
+
+  /** Returns relabeled quads as (graphName, quad), ordered by canonical
+    * N-Quads line — avoids a serialize+reparse round trip in the pipeline
+    * hot path. graphName "" = default graph.
+    */
+  def canonicalQuads(dataset: RdfDataset): Seq[(String, Quad)] = process(dataset)._2
+
+  private def process(dataset: RdfDataset): (Seq[String], Seq[(String, Quad)]) = {
     val quads = mutable.ArrayBuffer.empty[Quad]
     dataset.graphs.foreach { case (graphName0, triples) =>
       val graphName = if (graphName0 == "@default") "" else graphName0
@@ -96,12 +104,12 @@ final class Canonicalizer(algorithm: String = "URDNA2015",
       case other => other
     }
 
-    val lines = quads.map { q =>
+    val tagged = quads.map { q =>
       val qq = Quad(relabel(q.subject), q.predicate, relabel(q.obj), relabel(q.graph))
       val name = if (qq.graph == null) "" else qq.graph.value
-      toNQuad(qq, name)
-    }
-    lines.sorted.toSeq
+      (toNQuad(qq, name), (name, qq))
+    }.sortBy(_._1)
+    (tagged.map(_._1).toSeq, tagged.map(_._2).toSeq)
   }
 
   def canonicalize(dataset: RdfDataset): String = canonicalLines(dataset).mkString

@@ -1,0 +1,180 @@
+package jsonld.spark
+
+import org.apache.spark.sql.{Dataset, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.util.LongAccumulator
+import org.apache.spark.TaskContext
+import jsonld.core._
+import jsonld.core.Rdf._
+
+/** The KG-construction DAG: detect → expand → toRDF → URDNA2015 → dedup →
+  * link → partitioned write.
+  *
+  * Parallelism model (SURVEY.md "key architectural fact"): every JSON-LD
+  * algorithm is per-document and sequential, so each stage runs the pure
+  * core inside `mapPartitions` — one task processes many documents, no
+  * per-document state ever crosses a task boundary (blank-node scopes are
+  * per document). Corpus-level relational work (dedup, joins, bucketing,
+  * lineage aggregation) is left to Catalyst: it shuffles only at
+  * `dropDuplicates` / `repartition(predBucket)`.
+  *
+  * Scale notes (100 TB / 1000 executors):
+  * - detection is a narrow map over the scan — predicate + column pruning
+  *   reach parquet because the cheap filter is a Column expression;
+  * - the remote-context cache is a Broadcast[Map[url,String]] (contexts are
+  *   a closed, small set; executors NEVER do I/O per document);
+  * - one fused mapPartitions does parse→expand→toRDF→c14n per doc: no
+  *   intermediate shuffle, no JSON re-serialization between stages;
+  * - canonicalization worst case is factorial: a per-doc permutation budget
+  *   routes adversarial docs to quarantine instead of stalling an executor.
+  */
+object Pipeline extends Serializable {
+
+  /** Wire row emitted by the fused transform stage (ok and error rows share
+    * one pass; split downstream with a cheap filter).
+    */
+  final case class PipeRow(
+      ok: Boolean,
+      docId: String,
+      repo: String,
+      path: String,
+      subj: String,
+      pred: String,
+      obj: String,
+      objKind: Byte,
+      objDatatype: String,
+      objLang: String,
+      graph: String,
+      errorCode: String,
+      errorMessage: String)
+
+  final case class Counters(
+      filesIn: LongAccumulator,
+      docsDetected: LongAccumulator,
+      docsOk: LongAccumulator,
+      docsFailed: LongAccumulator,
+      quadsOut: LongAccumulator)
+
+  def newCounters(spark: SparkSession): Counters = Counters(
+    spark.sparkContext.longAccumulator("graft.filesIn"),
+    spark.sparkContext.longAccumulator("graft.docsDetected"),
+    spark.sparkContext.longAccumulator("graft.docsOk"),
+    spark.sparkContext.longAccumulator("graft.docsFailed"),
+    spark.sparkContext.longAccumulator("graft.quadsOut"))
+
+  /** Stage 1: detection. Cheap column-level pre-filter first (pushable /
+    * codegen'd), then the per-file extractor.
+    */
+  def detectStage(corpus: Dataset[RepoFile], counters: Counters): Dataset[DetectedDoc] = {
+    import corpus.sparkSession.implicits._
+    val prefiltered = corpus.filter(
+      col("content").isNotNull && (
+        lower(col("lang")).isin("jsonld", "json", "html") ||
+        col("path").endsWith(".jsonld") || col("path").endsWith(".json") ||
+        col("content").contains("@context") || col("content").contains("@graph") ||
+        col("content").contains("application/ld+json")))
+    prefiltered.mapPartitions { files =>
+      files.flatMap { f => counters.filesIn.add(1); Detect.detect(f) }
+    }
+  }
+
+  /** Stage 2+3+4 fused: parse → expand (broadcast context cache) → toRDF →
+    * per-doc URDNA2015 → QuadRow/ErrorRow wire format.
+    */
+  def transformStage(docs: Dataset[DetectedDoc],
+                     contextCache: Broadcast[Map[String, String]],
+                     counters: Counters,
+                     canonicalize: Boolean = true,
+                     maxPermutations: Long = 100000L): Dataset[PipeRow] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { iter =>
+      // one loader per partition: parsed-context cache lives across docs
+      val loader = new MapDocumentLoader(contextCache.value)
+      iter.flatMap { d =>
+        counters.docsDetected.add(1)
+        try {
+          val opts = JsonLdOptions(base = d.baseIri, documentLoader = loader)
+          val parsed =
+            try Json.parse(d.json)
+            catch { case e: Exception =>
+              throw JsonLdError(JsonLdError.InvalidInput, String.valueOf(e.getMessage))
+            }
+          val expanded = Processor.expand(parsed, opts)
+          val dataset = ToRdf.toRdf(expanded, opts)
+          val quads: Seq[(String, Quad)] =
+            if (canonicalize)
+              new Canonicalizer("URDNA2015", maxPermutations).canonicalQuads(dataset)
+                .map { case (g, q) => (if (g.isEmpty) "@default" else g, q) }
+            else dataset.allQuads
+          counters.docsOk.add(1)
+          counters.quadsOut.add(quads.size)
+          quads.iterator.map { case (graphName, q) =>
+            val (obj, kind, dt, lang) = q.obj match {
+              case RIri(v) => (v, QuadRow.KindIri, "", "")
+              case RBlank(v) => (v, QuadRow.KindBlank, "", "")
+              case RLiteral(v, d2, l2) => (v, QuadRow.KindLiteral, d2, l2)
+            }
+            PipeRow(ok = true, d.docId, d.repo, d.path,
+              q.subject.value, q.predicate.value, obj, kind, dt, lang,
+              if (graphName == "@default") "" else graphName, "", "")
+          }
+        } catch {
+          case e: JsonLdError =>
+            counters.docsFailed.add(1)
+            Iterator.single(PipeRow(ok = false, d.docId, d.repo, d.path,
+              "", "", "", QuadRow.KindIri, "", "", "", e.code, e.details.take(200)))
+          case e: Exception =>
+            counters.docsFailed.add(1)
+            Iterator.single(PipeRow(ok = false, d.docId, d.repo, d.path,
+              "", "", "", QuadRow.KindIri, "", "", "", "crash", String.valueOf(e.getMessage).take(200)))
+        }
+      }
+    }
+  }
+
+  def quads(pipe: Dataset[PipeRow]): Dataset[QuadRow] = {
+    import pipe.sparkSession.implicits._
+    pipe.filter(_.ok).map(p =>
+      QuadRow(p.docId, p.subj, p.pred, p.obj, p.objKind, p.objDatatype, p.objLang, p.graph))
+  }
+
+  def quarantine(pipe: Dataset[PipeRow]): Dataset[ErrorRow] = {
+    import pipe.sparkSession.implicits._
+    pipe.filter(!_.ok).map(p => ErrorRow(p.docId, p.repo, p.path, "transform", p.errorCode, p.errorMessage))
+  }
+
+  /** Corpus-level triple dedup — set semantics across documents. Hash
+    * aggregate, map-side partial combine; the single unavoidable shuffle of
+    * the spine.
+    */
+  def dedupQuads(q: Dataset[QuadRow]): DataFrame =
+    q.toDF().dropDuplicates(Seq("subj", "pred", "obj", "objKind", "objDatatype", "objLang", "graph"))
+
+  /** Lineage: per-partition counts derived from the wire rows — a plain
+    * aggregation Catalyst can fuse, no second pass over the data.
+    */
+  def lineage(pipe: Dataset[PipeRow]): DataFrame = {
+    pipe.toDF()
+      .withColumn("pid", spark_partition_id())
+      .groupBy(col("pid"))
+      .agg(
+        countDistinct(when(col("ok"), col("docId"))).as("docsOk"),
+        countDistinct(when(!col("ok"), col("docId"))).as("docsFailed"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("quadsOut"))
+  }
+
+  /** Predicate-bucketed graph materialization: co-locates quads of one
+    * predicate family, sorted for run-length-friendly encoding and
+    * pushdown-able reads at 100 TB (SURVEY.md §2.10).
+    */
+  def writePartitioned(quadsDf: DataFrame, outDir: String, buckets: Int = 64): Unit = {
+    quadsDf
+      .withColumn("predBucket", pmod(hash(col("pred")), lit(buckets)))
+      .repartition(col("predBucket"))
+      .sortWithinPartitions("subj", "pred", "obj")
+      .write.mode("overwrite")
+      .partitionBy("predBucket")
+      .parquet(outDir)
+  }
+}
