@@ -50,7 +50,9 @@ final class Context(val options: JsonLdOptions) extends Serializable {
   var terms: mutable.HashMap[String, TermDefinition] = mutable.HashMap.empty
   var protectedTerms: mutable.HashSet[String] = mutable.HashSet.empty
   var previousContext: Context = null
-  @transient var inverseCtx: JObj = null // built lazily by Compaction
+  // built lazily by Compaction.getInverse; never copied (regenerated)
+  @transient var inverseCtx: mutable.HashMap[String, Any] = null
+  @transient var fastCurie: mutable.HashMap[String, Any] = null
 
   def isMode11: Boolean = processingMode >= JsonLdOptions.JsonLd11
   def isMode10: Boolean = !isMode11
@@ -645,6 +647,23 @@ final class Context(val options: JsonLdOptions) extends Serializable {
     if (td != null && td.hasLanguage) td.language
     else if (hasLanguage) language
     else null
+  }
+
+  /** Language mapping normalized to "" for absent/null (compaction compares
+    * against the value's "@language" or "").
+    */
+  def getLanguageMappingStr(property: String): String = {
+    val td = getTermDefinition(property)
+    if (td != null && td.hasLanguage) { if (td.language != null) td.language else "" }
+    else if (hasLanguage) language
+    else ""
+  }
+
+  def getDirectionMapping(property: String): String = {
+    val td = getTermDefinition(property)
+    if (td != null && td.hasDirection) { if (td.direction != null) td.direction else "" }
+    else if (direction != "") direction
+    else ""
   }
 
   def getPrefixes(onlyCommonPrefixes: Boolean): Map[String, String] =

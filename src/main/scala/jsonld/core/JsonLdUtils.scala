@@ -184,18 +184,21 @@ object JsonLdUtils {
     * @value/@type/@language/@index; node refs by @id.
     */
   def compareValues(v1: Any, v2: Any): Boolean = {
-    if (Json.deepCompare(v1, v2)) return true
+    // deliberately NOT a deep compare: only scalars, value objects, and
+    // @id-bearing maps ever compare equal (list objects never do — list
+    // duplication is semantic)
     (v1, v2) match {
       case (m1: JObj @unchecked, m2: JObj @unchecked) =>
-        if (isValueObject(m1) && isValueObject(m2))
-          Json.deepCompare(m1.getOrElse("@value", null), m2.getOrElse("@value", null)) &&
+        if (isValueObject(m1) && isValueObject(m2) &&
+            Json.deepCompare(m1.getOrElse("@value", null), m2.getOrElse("@value", null)) &&
             m1.getOrElse("@type", null) == m2.getOrElse("@type", null) &&
             m1.getOrElse("@language", null) == m2.getOrElse("@language", null) &&
-            m1.getOrElse("@index", null) == m2.getOrElse("@index", null)
-        else if (m1.contains("@id") && m2.contains("@id"))
-          m1("@id") == m2("@id")
+            m1.getOrElse("@index", null) == m2.getOrElse("@index", null)) true
+        else if (m1.contains("@id") && m2.contains("@id")) m1("@id") == m2("@id")
         else false
-      case _ => false
+      case (m1: JObj @unchecked, _) => false
+      case (_, m2: JObj @unchecked) => false
+      case (a, b) => Json.deepCompare(a, b)
     }
   }
 

@@ -77,13 +77,124 @@ object Processor {
   def normalizeNQuads(nquads: String, opts: JsonLdOptions): String =
     new Canonicalizer(opts.algorithm).canonicalize(parseNQuads(nquads))
 
-  // Implemented in later build steps (SURVEY.md §7.1 steps 7-10):
-  def compact(input: Any, context: Any, opts: JsonLdOptions): Any =
-    throw JsonLdError(JsonLdError.NotImplemented, "compact")
-  def flatten(input: Any, context: Any, opts: JsonLdOptions): Any =
-    throw JsonLdError(JsonLdError.NotImplemented, "flatten")
+  /** Compaction entry point (JSON-LD 1.1 API §6.2). */
+  def compact(input: Any, context0: Any, opts0: JsonLdOptions): JObj = {
+    var opts = opts0
+    input match {
+      case s: String if opts.base == "" => opts = opts.copy(base = s)
+      case _ =>
+    }
+    val expanded = expand(input, opts)
+
+    var context = Json.deepClone(context0)
+    context match {
+      case m: JObj @unchecked if m.contains("@context") => context = m("@context")
+      case _ =>
+    }
+    var activeCtx = new Context(opts)
+    activeCtx = activeCtx.parse(context)
+
+    var compacted = Compaction.compact(activeCtx, "", expanded, opts.compactArrays)
+
+    compacted match {
+      case lst: JArr @unchecked =>
+        if (lst.isEmpty) compacted = Json.obj()
+        else {
+          val alias = Compaction.compactIri(activeCtx, "@graph", null, relativeToVocab0 = false, reverse = false)
+          val m = Json.obj(); m(alias) = lst
+          compacted = m
+        }
+      case _ =>
+    }
+
+    val resultMap = compacted.asInstanceOf[JObj]
+    if (resultMap.nonEmpty) {
+      val withCtx = context match {
+        case lst: JArr @unchecked if lst.size == 1 && opts.compactArrays =>
+          Some(lst.head)
+        case m: JObj @unchecked => if (m.nonEmpty) Some(m) else None
+        case null => None
+        case other => Some(other) // strings, multi-element arrays
+      }
+      withCtx.foreach { c =>
+        // @context first: rebuild preserving order
+        val ordered = Json.obj()
+        ordered("@context") = c
+        resultMap.foreach { case (k, v) => ordered(k) = v }
+        return ordered
+      }
+    }
+    resultMap
+  }
+
+  /** Flattening entry point (JSON-LD 1.1 API §7.1). */
+  def flatten(input: Any, context0: Any, opts0: JsonLdOptions): Any = {
+    var opts = opts0
+    input match {
+      case s: String if opts.base == "" => opts = opts.copy(base = s)
+      case _ =>
+    }
+    val expanded = expand(input, opts)
+    var context = context0
+    context match {
+      case m: JObj @unchecked if m.contains("@context") => context = m("@context")
+      case _ =>
+    }
+
+    val nodeMap = Json.obj()
+    nodeMap("@default") = Json.obj()
+    val issuer = new IdentifierIssuer("_:b")
+    NodeMap.generateNodeMap(expanded, nodeMap, "@default", issuer, null, "", null)
+
+    val defaultGraph = nodeMap("@default").asInstanceOf[JObj]
+    nodeMap.remove("@default")
+
+    Json.sortedKeys(nodeMap).foreach { graphName =>
+      val graph = nodeMap(graphName).asInstanceOf[JObj]
+      val entry = defaultGraph.getOrElse(graphName, null) match {
+        case m: JObj @unchecked => m
+        case _ =>
+          val m = Json.obj(); m("@id") = graphName; defaultGraph(graphName) = m; m
+      }
+      if (!entry.contains("@graph")) entry("@graph") = Json.arr()
+      val graphArr = entry("@graph").asInstanceOf[JArr]
+      Json.sortedKeys(graph).foreach { id =>
+        val node = graph(id).asInstanceOf[JObj]
+        if (!(node.contains("@id") && node.size == 1)) graphArr += node
+      }
+    }
+
+    val flattened = Json.arr()
+    Json.sortedKeys(defaultGraph).foreach { id =>
+      val node = defaultGraph(id).asInstanceOf[JObj]
+      if (!(node.contains("@id") && node.size == 1)) flattened += node
+    }
+
+    if (context != null && flattened.nonEmpty) {
+      var activeCtx = new Context(opts)
+      activeCtx = activeCtx.parse(context)
+      var compacted = Compaction.compact(activeCtx, "", flattened, opts.compactArrays)
+      compacted = compacted match {
+        case a: JArr @unchecked => a
+        case other => Json.arr(other)
+      }
+      val alias = Compaction.compactIri(activeCtx, "@graph", null, relativeToVocab0 = false, reverse = false)
+      val rval = Compaction.serialize(activeCtx)
+      rval(alias) = compacted
+      rval
+    } else flattened
+  }
+
+  /** FromRDF entry point: N-Quads text or RdfDataset → JSON-LD array. */
+  def fromRdf(input: Any, opts: JsonLdOptions): JArr = {
+    val dataset = input match {
+      case ds: RdfDataset => ds
+      case s: String => parseNQuads(s)
+      case other => throw JsonLdError(JsonLdError.UnknownFormat, String.valueOf(other))
+    }
+    FromRdf.fromRdf(dataset, opts)
+  }
+
   def frame(input: Any, frame: Any, opts: JsonLdOptions): Any =
     throw JsonLdError(JsonLdError.NotImplemented, "frame")
-  def fromRdf(input: Any, opts: JsonLdOptions): Any =
-    throw JsonLdError(JsonLdError.NotImplemented, "fromRdf")
 }

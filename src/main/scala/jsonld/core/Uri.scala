@@ -111,45 +111,49 @@ object Uri {
     t.render
   }
 
-  /** Make `iri` relative to `base` if possible (used by IRI compaction). */
+  /** Make `iri` relative to `base` if possible (used by IRI compaction).
+    * Segment-matching semantics: when the target carries a query or
+    * fragment, all path segments may be consumed (yielding "?q" / "#f"
+    * forms); otherwise the final segment is kept ("things/1" vs itself →
+    * "1").
+    */
   def removeBase(baseStr: String, iri: String): String = {
     if (baseStr == null || baseStr.isEmpty) return iri
     val base = parse(baseStr)
-    val tgt = parse(iri)
-    if (base.scheme != tgt.scheme || base.authority != tgt.authority) return iri
 
-    // root: scheme://authority
-    val basePath = if (base.path.isEmpty) "/" else base.path
-    val tgtPath = if (tgt.path.isEmpty) "/" else tgt.path
+    val root =
+      if (base.scheme != null) base.scheme + "://" + (if (base.authority != null) base.authority else "")
+      else if (!iri.startsWith("//")) "//"
+      else ""
+    if (!iri.startsWith(root)) return iri
 
-    val baseSegs = basePath.split("/", -1)
-    val tgtSegs = tgtPath.split("/", -1)
-    // drop the last segment of base (the "file" part)
-    val baseDirs = baseSegs.dropRight(1)
-    var i = 0
-    while (i < baseDirs.length && i < tgtSegs.length - 1 && baseDirs(i) == tgtSegs(i)) i += 1
-    val ups = baseDirs.length - i
-    val sb = new StringBuilder
-    var k = 0
-    while (k < ups) { sb.append("../"); k += 1 }
-    sb.append(tgtSegs.slice(i, tgtSegs.length).mkString("/"))
-    var rel = sb.toString
+    val rel = parse(iri.substring(root.length))
+    val basePathNorm = removeDotSegments(if (base.path.isEmpty) "/" else base.path)
+    val relPathNorm = removeDotSegments(rel.path)
 
-    val baseFile = baseSegs.last
-    if (rel.isEmpty) {
-      // same directory, empty target segment
-      rel = ""
+    var baseSegments = basePathNorm.split("/", -1).toList
+    var iriSegments = relPathNorm.split("/", -1).toList
+    val hasSuffix = (rel.fragment != null && rel.fragment.nonEmpty) ||
+      (rel.query != null && rel.query.nonEmpty)
+    val last = if (hasSuffix) 0 else 1
+
+    while (baseSegments.nonEmpty && iriSegments.length > last &&
+           baseSegments.head == iriSegments.head) {
+      baseSegments = baseSegments.tail
+      iriSegments = iriSegments.tail
     }
-    // if paths identical up to query/fragment
-    if (basePath == tgtPath) rel = ""
-    var out = rel
-    if (tgt.query != null) out = out + "?" + tgt.query
-    if (tgt.fragment != null) out = out + "#" + tgt.fragment
-    if (out.isEmpty) out = "./"
-    // Per other processors: if the result would start with a path segment
-    // containing ':', it would re-parse as a scheme — guard with "./"
-    val firstSeg = out.takeWhile(c => c != '/' && c != '?' && c != '#')
-    if (firstSeg.contains(':')) out = "./" + out
-    out
+
+    val sb = new StringBuilder
+    if (baseSegments.nonEmpty) {
+      // the last base segment is a file (unless the path ends with '/') —
+      // it does not contribute a '../'
+      if (!basePathNorm.endsWith("/") || baseSegments.head == "")
+        baseSegments = baseSegments.dropRight(1)
+      baseSegments.foreach(_ => sb.append("../"))
+    }
+    sb.append(iriSegments.mkString("/"))
+    if (rel.query != null && rel.query.nonEmpty) sb.append('?').append(rel.query)
+    if (rel.fragment != null && rel.fragment.nonEmpty) sb.append('#').append(rel.fragment)
+    if (sb.isEmpty) "./" else sb.toString
   }
 }
