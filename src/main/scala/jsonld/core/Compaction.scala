@@ -818,6 +818,7 @@ object Compaction {
     val out = Json.obj()
     if (ctx.base != "" && (ctx.options == null || ctx.base != ctx.options.base))
       out("@base") = ctx.base
+    if (ctx.version != null) out("@version") = ctx.version
     if (ctx.hasLanguage) out("@language") = ctx.language
     if (ctx.direction != "") out("@direction") = ctx.direction
     if (ctx.vocab != null) out("@vocab") = ctx.vocab

@@ -47,6 +47,7 @@ final class Context(val options: JsonLdOptions) extends Serializable {
   var hasLanguage: Boolean = false
   var direction: String = ""
   var processingMode: String = if (options != null) options.processingMode else ""
+  var version: Any = null // set when a context declares @version
   var terms: mutable.HashMap[String, TermDefinition] = mutable.HashMap.empty
   var protectedTerms: mutable.HashSet[String] = mutable.HashSet.empty
   var previousContext: Context = null
@@ -62,6 +63,7 @@ final class Context(val options: JsonLdOptions) extends Serializable {
     c.base = base; c.vocab = vocab; c.language = language
     c.hasLanguage = hasLanguage; c.direction = direction
     c.processingMode = processingMode
+    c.version = version
     c.terms = terms.clone()
     c.protectedTerms = protectedTerms.clone()
     if (previousContext != null) c.previousContext = previousContext.copyContext()
@@ -152,6 +154,7 @@ final class Context(val options: JsonLdOptions) extends Serializable {
             if (pm == JsonLdOptions.JsonLd10)
               throw JsonLdError(JsonLdError.ProcessingModeConflict, s"@version 1.1 vs $pm")
             result.processingMode = JsonLdOptions.JsonLd11
+            result.version = v
           case None =>
             result.processingMode = if (pm == "") JsonLdOptions.JsonLd10 else pm
         }

@@ -15,9 +15,9 @@ final case class JsonLdOptions(
     useNativeTypes: Boolean = false,
     useRdfType: Boolean = false,
     // framing
-    embed: String = "@once",
+    embed: String = "@last",
     explicit: Boolean = false,
-    requireAll: Boolean = false,
+    requireAll: Boolean = true,
     omitDefault: Boolean = false,
     omitGraph: Boolean = false,
     frameDefault: Boolean = false,

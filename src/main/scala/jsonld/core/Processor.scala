@@ -195,6 +195,59 @@ object Processor {
     FromRdf.fromRdf(dataset, opts)
   }
 
-  def frame(input: Any, frame: Any, opts: JsonLdOptions): Any =
-    throw JsonLdError(JsonLdError.NotImplemented, "frame")
+  /** Framing entry point (JSON-LD Framing 1.1 §4.1). */
+  def frame(input0: Any, frame0: Any, opts0: JsonLdOptions): JObj = {
+    var opts = opts0
+    input0 match {
+      case s: String if opts.base == "" => opts = opts.copy(base = s)
+      case _ =>
+    }
+    val frameDoc = frame0 match {
+      case m: JObj @unchecked => Json.deepClone(m)
+      case other => other
+    }
+
+    val expandedInput = expand(input0, opts)
+    val frameOpts = opts.copy(processingMode = JsonLdOptions.JsonLd11ExpandFrame,
+      expandContext = null)
+    val expandedFrame = expand(frameDoc, frameOpts)
+
+    val graphInFrame = frameDoc match {
+      case m: JObj @unchecked => m.contains("@graph")
+      case _ => false
+    }
+    val (framed, bnodesToClear0) =
+      Framing.frame(expandedInput, expandedFrame, opts, merged = !graphInFrame)
+
+    val frameCtx = frameDoc match {
+      case m: JObj @unchecked => m.getOrElse("@context", null)
+      case _ => null
+    }
+    var activeCtx = new Context(opts)
+    if (frameCtx != null) activeCtx = activeCtx.parse(frameCtx)
+
+    val compacted = Compaction.compact(activeCtx, "", framed, opts.compactArrays)
+    val bnodesToClear =
+      if (opts.processingMode == JsonLdOptions.JsonLd10) Seq.empty[String]
+      else bnodesToClear0
+
+    var rval = Compaction.serialize(activeCtx)
+    val graphAlias = Compaction.compactIri(activeCtx, "@graph", null,
+      relativeToVocab0 = false, reverse = false)
+    compacted match {
+      case lst: JArr @unchecked => rval(graphAlias) = lst
+      case m: JObj @unchecked if opts.omitGraph =>
+        val tmp = rval.getOrElse("@context", null)
+        rval = m
+        if (tmp != null && !rval.contains("@context")) {
+          val ordered = Json.obj()
+          ordered("@context") = tmp
+          m.foreach { case (k, v) => ordered(k) = v }
+          rval = ordered
+        }
+      case m => rval(graphAlias) = Json.arr(m)
+    }
+    Framing.removePreserve(activeCtx, rval, bnodesToClear, opts.compactArrays)
+    rval
+  }
 }

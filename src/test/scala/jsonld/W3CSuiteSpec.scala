@@ -47,14 +47,14 @@ class W3CSuiteSpec extends AnyFunSuite {
     * manifest. Targets are ≥ the reference's own pass rates.
     */
   private val minPassRate: Map[String, Double] = Map(
-    "expand-manifest.jsonld" -> 0.98,
-    "toRdf-manifest.jsonld" -> 0.98,
+    "expand-manifest.jsonld" -> 1.0,
+    "toRdf-manifest.jsonld" -> 1.0,
     "normalization/manifest-urdna2015.jsonld" -> 1.0,
     "normalization/manifest-urgna2012.jsonld" -> 1.0,
-    "compact-manifest.jsonld" -> 0.98,
-    "flatten-manifest.jsonld" -> 0.98,
-    "fromRdf-manifest.jsonld" -> 0.98,
-    "frame-manifest.jsonld" -> 0.90
+    "compact-manifest.jsonld" -> 1.0,
+    "flatten-manifest.jsonld" -> 1.0,
+    "fromRdf-manifest.jsonld" -> 1.0,
+    "frame-manifest.jsonld" -> 1.0
   )
 
   private def read(p: Path): String = new String(Files.readAllBytes(p), "UTF-8")
