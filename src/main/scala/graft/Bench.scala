@@ -1,24 +1,87 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import jsonld.spark._
+
+/** Per-round benchmark: headline metric is end-to-end KG-pipeline
+  * throughput (triples/sec for detect→expand→toRDF→URDNA2015→dedup→write)
+  * on the synthetic corpus, plus per-query wall times for every
+  * SparkEntry query. Prints ONE JSON line.
+  */
 object Bench {
+
+  def newSession(cpus: String): SparkSession = SparkSession.builder()
+    .master(s"local[$cpus]")
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.adaptive.enabled", "true")
+    // small split target: the synthetic corpus is a few hundred MB; with
+    // the default 128 MB the scan would open too few partitions to use
+    // all cores (a real 100 TB corpus has no such problem)
+    .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Materialize the `replication`-times enlarged corpus to parquet —
+    * UNTIMED: the benchmark measures the pipeline from a stored corpus
+    * (the real deployment shape), not corpus synthesis.
+    */
+  def materializeCorpus(spark: SparkSession, sfDir: String, replication: Int,
+                        corpusDir: String): Unit = {
+    val heavy = Corpus.corpusHeavy(spark, sfDir).toDF()
+      .repartition(spark.sparkContext.defaultParallelism)
+    heavy
+      .crossJoin(spark.range(replication).withColumnRenamed("id", "rep"))
+      .withColumn("path", concat(col("path"), lit("#r"), col("rep")))
+      .withColumn("repo", concat(col("repo"), lit("-"), col("rep")))
+      .drop("rep")
+      .write.mode("overwrite").parquet(corpusDir)
+  }
+
+  /** Timed region: parquet scan → detect → expand→toRDF→c14n → dedup →
+    * predicate-bucketed write. Returns (seconds, triples emitted).
+    */
+  def pipelineThroughput(spark: SparkSession, sfDir: String, replication: Int,
+                         outDir: String): (Double, Long) = {
+    import spark.implicits._
+    materializeCorpus(spark, sfDir, replication, s"$outDir/corpus")
+    val corpus = spark.read.parquet(s"$outDir/corpus").as[RepoFile]
+
+    val counters = Pipeline.newCounters(spark)
+    val ctxCache = spark.sparkContext.broadcast(Map.empty[String, String])
+    val t0 = System.nanoTime()
+    val docs = Pipeline.detectStage(corpus, counters)
+    val pipe = Pipeline.transformStage(docs, ctxCache, counters)
+    val quads = Pipeline.dedupQuads(Pipeline.quads(pipe))
+    Pipeline.writePartitioned(quads, s"$outDir/quads", buckets = 32)
+    val secs = (System.nanoTime() - t0) / 1e9
+    (secs, counters.quadsOut.value)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val replication = sys.env.getOrElse("SPARK_GRAFT_REPLICATION", "20").toInt
+    val spark = newSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // headline: pipeline throughput
+    val outDir = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val (pipeSecs, triples) = pipelineThroughput(spark, sfDir, replication, s"$outDir/quads")
+    val throughput = triples / math.max(pipeSecs, 1e-9)
+
+    // per-query wall times
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val qs = (results :+ ("pipeline_e2e" -> pipeSecs))
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum + pipeSecs
+    println(s"""{"metric":"pipeline_triples_per_sec","value":${f"$throughput%.1f"},"unit":"triples/sec","total_sec":${f"$total%.2f"},"pipeline_triples":$triples,"pipeline_sec":${f"$pipeSecs%.2f"},"queries":$qs,"sf":"$sfDir","cpus":"$cpus","replication":$replication}""")
     spark.stop()
   }
 }

@@ -1,0 +1,34 @@
+package graft
+
+/** Scaling-efficiency evidence (north rule: ≥0.8 efficiency from N to 4N
+  * executors). No real cluster exists in this sandbox, so the same job runs
+  * at two local parallelism levels — local[N] and local[4N] — on the same
+  * input, and we report throughput at both plus
+  * efficiency = (throughput_4N / throughput_N) / 4.
+  *
+  * Run: sbt "runMain graft.Scale [sfDir] [N] [replication]"
+  */
+object Scale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val n = if (args.length > 1) args(1).toInt else 8
+    val replication = if (args.length > 2) args(2).toInt else 40
+
+    def run(cpus: Int): (Double, Long, Double) = {
+      val spark = Bench.newSession(cpus.toString)
+      spark.sparkContext.setLogLevel("WARN")
+      val outDir = java.nio.file.Files.createTempDirectory(s"graft-scale-$cpus").toString
+      // warmup: JIT + code cache, small replication
+      Bench.pipelineThroughput(spark, sfDir, 2, s"$outDir/warmup")
+      val (secs, triples) = Bench.pipelineThroughput(spark, sfDir, replication, s"$outDir/quads")
+      spark.stop()
+      (secs, triples, triples / secs)
+    }
+
+    val (secsN, triplesN, thrN) = run(n)
+    val (secs4N, triples4N, thr4N) = run(4 * n)
+    val efficiency = (thr4N / thrN) / 4.0
+
+    println(f"""{"metric":"scaling_efficiency","value":$efficiency%.3f,"unit":"ratio","n_cores":$n,"throughput_n":$thrN%.1f,"sec_n":$secsN%.2f,"triples_n":$triplesN,"n4_cores":${4 * n},"throughput_4n":$thr4N%.1f,"sec_4n":$secs4N%.2f,"triples_4n":$triples4N,"sf":"$sfDir","replication":$replication}""")
+  }
+}

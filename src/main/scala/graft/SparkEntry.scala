@@ -146,7 +146,7 @@ object SparkEntry {
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     DedupOps.minhashNearDuplicates(t(spark, dir, "documents"), col("text"), col("doc_id"),
-        n = 3, k = 32, bands = 16, threshold = 0.2)
+        n = 3, k = 32, bands = 8, threshold = 0.2)
       .orderBy("doc_a", "doc_b")
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =

@@ -27,24 +27,39 @@ object DedupOps {
     docs.groupBy(sha2(text, 256).as("text_sha256"))
       .agg(count(lit(1)).as("n_docs"), min(id).as("keep_doc_id"))
 
-  /** MinHash signature: `k` hash functions as seeded xxhash64 over word
-    * `n`-gram shingles; signature[i] = min over shingles.
-    */
-  def minhashSignature(text: Column, n: Int = 3, k: Int = 32): Column = {
-    val sh = TextOps.shingles(text, n)
+  // MinHash universe: affine rehash family (a*h + b) mod P over a single
+  // per-shingle base hash. One xxhash64 per shingle total, then k cheap
+  // long multiply/mods — ~30× cheaper than k seeded string hashes, and
+  // overflow-free under ANSI mode (operands < 2^31, products < 2^62).
+  private val MersenneP = 2147483647L // 2^31 - 1
+  private def affineA(i: Int): Long = 1103515245L % MersenneP * (2 * i + 1) % MersenneP
+  private def affineB(i: Int): Long = (12345L + 2654435761L * i) % MersenneP
+
+  /** Per-shingle base hashes (one xxhash64 per shingle). */
+  def shingleBaseHashes(text: Column, n: Int = 3): Column =
+    transform(TextOps.shingles(text, n), s => pmod(xxhash64(s), lit(MersenneP)))
+
+  /** MinHash signature over a precomputed base-hash array column. */
+  def minhashSignatureFromHashes(baseHashes: Column, k: Int = 32): Column =
     transform(sequence(lit(0), lit(k - 1)), i =>
-      when(size(sh) > 0,
-        array_min(transform(sh, s => xxhash64(concat(s, lit("#"), i.cast("string"))))))
+      when(size(baseHashes) > 0,
+        array_min(transform(baseHashes, h =>
+          pmod(h * element_at(array((0 until k).map(j => lit(affineA(j))): _*), i + 1)
+            + element_at(array((0 until k).map(j => lit(affineB(j))): _*), i + 1), lit(MersenneP)))))
         .otherwise(lit(Long.MaxValue)))
-  }
+
+  def minhashSignature(text: Column, n: Int = 3, k: Int = 32): Column =
+    minhashSignatureFromHashes(shingleBaseHashes(text, n), k)
 
   /** LSH band rows: one row per (doc, band) with the band's hash — join
-    * candidates share (band, bandHash).
+    * candidates share (band, bandHash). Base hashes and the signature are
+    * materialized as columns so each is computed once per row.
     */
   def lshBands(docs: DataFrame, text: Column, id: Column,
                n: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
     val rowsPerBand = k / bands
-    docs.select(id.as("doc_id"), minhashSignature(text, n, k).as("sig"))
+    docs.select(id.as("doc_id"), shingleBaseHashes(text, n).as("bh"))
+      .select(col("doc_id"), minhashSignatureFromHashes(col("bh"), k).as("sig"))
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)), b =>
           xxhash64(concat_ws(",",
@@ -59,7 +74,9 @@ object DedupOps {
   def minhashNearDuplicates(docs: DataFrame, text: Column, id: Column,
                             n: Int = 3, k: Int = 32, bands: Int = 8,
                             threshold: Double = 0.5): DataFrame = {
-    val b = lshBands(docs, text, id, n, k, bands)
+    // materialize band rows once: both sides of the self-join read the
+    // cached copy instead of recomputing signatures
+    val b = lshBands(docs, text, id, n, k, bands).cache()
     val pairs = b.as("l").join(b.as("r"),
         col("l.band") === col("r.band") &&
         col("l.band_hash") === col("r.band_hash") &&

@@ -79,6 +79,37 @@ object Corpus {
       .as[RepoFile]
   }
 
+  /** Bench-shaped corpus: richer documents (~50 quads each) with a tag
+    * list and 8 nested @id-less section nodes — realistic per-document
+    * work including multi-blank-node URDNA2015 (distinct first-degree
+    * hashes, so no factorial paths).
+    */
+  def corpusHeavy(spark: SparkSession, sfDir: String): Dataset[RepoFile] = {
+    import spark.implicits._
+    documents(spark, sfDir).select(
+      concat(lit("org"), (col("doc_id") % 100).cast("string")).as("repo"),
+      concat(lit("heavy/doc"), col("doc_id"), lit(".jsonld")).as("path"),
+      sha2(concat(lit("commit:"), col("doc_id")), 256).as("commit"),
+      lit("jsonld").as("lang"),
+      to_json(struct(
+        struct(lit(Vocab).as("@vocab")).as("@context"),
+        concat(lit(DocNs), col("doc_id")).as("@id"),
+        lit("Document").as("@type"),
+        col("text").as("text"),
+        col("lang").as("lang"),
+        col("source").as("source"),
+        col("n_chars").as("chars"),
+        transform(sequence(lit(0), lit(9)),
+          i => concat(lit("tag"), pmod(col("doc_id") + i, lit(50)))).as("tags"),
+        transform(sequence(lit(0), lit(7)), i => struct(
+          concat(lit("section-"), col("doc_id"), lit("-"), i).as("name"),
+          (pmod(col("doc_id"), lit(1000)) * 8 + i).as("value"),
+          concat(lit("body "), substring(col("text"), (i * 16 + 1).cast("int"), lit(64))).as("body")
+        )).as("sections")
+      )).as("content")
+    ).as[RepoFile]
+  }
+
   /** Inline vocabulary dictionary for entity linking (broadcast side). */
   def vocabDictionary(spark: SparkSession): DataFrame = {
     import spark.implicits._

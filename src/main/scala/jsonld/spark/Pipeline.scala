@@ -169,9 +169,13 @@ object Pipeline extends Serializable {
     * pushdown-able reads at 100 TB (SURVEY.md §2.10).
     */
   def writePartitioned(quadsDf: DataFrame, outDir: String, buckets: Int = 64): Unit = {
+    // repartition by (bucket, subj-salt), not bucket alone: a corpus with
+    // few distinct predicates would otherwise confine the sort+write stage
+    // to #buckets tasks regardless of cluster size; the salt keeps every
+    // core busy while partitionBy still yields one directory per bucket
     quadsDf
       .withColumn("predBucket", pmod(hash(col("pred")), lit(buckets)))
-      .repartition(col("predBucket"))
+      .repartition(col("predBucket"), pmod(hash(col("subj")), lit(16)))
       .sortWithinPartitions("subj", "pred", "obj")
       .write.mode("overwrite")
       .partitionBy("predBucket")
