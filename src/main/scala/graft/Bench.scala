@@ -13,7 +13,11 @@ object Bench {
 
   def newSession(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
-    .config("spark.sql.shuffle.partitions", cpus)
+    // fixed shuffle fan-out regardless of core count: scaling runs must
+    // vary ONLY parallelism (a real cluster keeps shuffle.partitions
+    // constant while executors scale), and 8-way shuffles of 35M-row
+    // dedups spill where 64-way ones don't
+    .config("spark.sql.shuffle.partitions", "64")
     .config("spark.sql.adaptive.enabled", "true")
     // small split target: the synthetic corpus is a few hundred MB; with
     // the default 128 MB the scan would open too few partitions to use

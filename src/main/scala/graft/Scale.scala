@@ -18,10 +18,15 @@ object Scale {
       val spark = Bench.newSession(cpus.toString)
       spark.sparkContext.setLogLevel("WARN")
       val outDir = java.nio.file.Files.createTempDirectory(s"graft-scale-$cpus").toString
-      // warmup: JIT + code cache, small replication
-      Bench.pipelineThroughput(spark, sfDir, 2, s"$outDir/warmup")
-      val (secs, triples) = Bench.pipelineThroughput(spark, sfDir, replication, s"$outDir/quads")
+      // substantial warmup: both parallelism levels share one JVM, so the
+      // hot paths must be fully JIT-compiled before EITHER measurement or
+      // the second level gets an unfair advantage
+      Bench.pipelineThroughput(spark, sfDir, math.max(20, replication / 10), s"$outDir/warmup")
+      // best of two measured iterations (page cache + codegen settled)
+      val (s1, t1) = Bench.pipelineThroughput(spark, sfDir, replication, s"$outDir/quads1")
+      val (s2, t2) = Bench.pipelineThroughput(spark, sfDir, replication, s"$outDir/quads2")
       spark.stop()
+      val (secs, triples) = if (s1 <= s2) (s1, t1) else (s2, t2)
       (secs, triples, triples / secs)
     }
 

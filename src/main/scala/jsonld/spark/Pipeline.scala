@@ -164,6 +164,42 @@ object Pipeline extends Serializable {
         sum(when(col("ok"), 1L).otherwise(0L)).as("quadsOut"))
   }
 
+  /** Full resumable DAG: every stage writes its output table + a done
+    * marker under `workDir`; a re-entered driver skips completed stages
+    * (north rule: resumable from checkpointed stage outputs). Stage names
+    * are deterministic, so resume is a pure function of the work dir.
+    *
+    * Returns the final deduped quads DataFrame (read back from storage —
+    * lineage is cut at each checkpoint).
+    */
+  def runResumable(spark: SparkSession, corpus: Dataset[RepoFile], workDir: String,
+                   contextCache: Broadcast[Map[String, String]],
+                   buckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    val counters = newCounters(spark)
+
+    val detectedDf = CorpusIO.stage(spark, s"$workDir/stage1_detected") {
+      detectStage(corpus, counters).toDF()
+    }
+
+    val pipeDf = CorpusIO.stage(spark, s"$workDir/stage2_transformed") {
+      transformStage(detectedDf.as[DetectedDoc], contextCache, counters).toDF()
+    }
+    val pipe = pipeDf.as[PipeRow]
+
+    CorpusIO.stage(spark, s"$workDir/quarantine") { quarantine(pipe).toDF() }
+    CorpusIO.stage(spark, s"$workDir/lineage") { lineage(pipe) }
+
+    val quadsDf = CorpusIO.stage(spark, s"$workDir/stage3_quads") {
+      dedupQuads(quads(pipe))
+    }
+    if (!CorpusIO.stageDone(s"$workDir/graph")) {
+      writePartitioned(quadsDf, s"$workDir/graph", buckets)
+      CorpusIO.markDone(s"$workDir/graph")
+    }
+    quadsDf
+  }
+
   /** Predicate-bucketed graph materialization: co-locates quads of one
     * predicate family, sorted for run-length-friendly encoding and
     * pushdown-able reads at 100 TB (SURVEY.md §2.10).
