@@ -70,8 +70,10 @@ object Bench {
     val spark = newSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
-    // headline: pipeline throughput
+    // headline: pipeline throughput (after a short JIT warmup — the
+    // per-document core is pure Scala and benefits heavily from C2)
     val outDir = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    pipelineThroughput(spark, sfDir, math.max(2, replication / 4), s"$outDir/warmup")
     val (pipeSecs, triples) = pipelineThroughput(spark, sfDir, replication, s"$outDir/quads")
     val throughput = triples / math.max(pipeSecs, 1e-9)
 

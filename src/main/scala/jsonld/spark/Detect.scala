@@ -67,7 +67,9 @@ object Detect extends Serializable {
       val t = json.trim
       if (t.isEmpty || !(t.startsWith("{") || t.startsWith("["))) Iterator.empty
       else Iterator.single(DetectedDoc(
-        docId = s"${f.repo}/${f.path}@${f.commit}#$idx",
+        // short commit keeps the id unique per snapshot while saving ~50
+        // bytes on every downstream quad row (docId rides the shuffle)
+        docId = s"${f.repo}/${f.path}@${f.commit.take(12)}#$idx",
         repo = f.repo, path = f.path, commit = f.commit,
         docIdx = idx, baseIri = base, json = t, contentSha256 = sha))
     }

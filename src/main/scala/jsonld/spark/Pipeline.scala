@@ -115,7 +115,9 @@ object Pipeline extends Serializable {
               case RBlank(v) => (v, QuadRow.KindBlank, "", "")
               case RLiteral(v, d2, l2) => (v, QuadRow.KindLiteral, d2, l2)
             }
-            PipeRow(ok = true, d.docId, d.repo, d.path,
+            // ok rows travel without repo/path (derivable from docId):
+            // at 10^12-file scale those two strings dominate shuffle bytes
+            PipeRow(ok = true, d.docId, "", "",
               q.subject.value, q.predicate.value, obj, kind, dt, lang,
               if (graphName == "@default") "" else graphName, "", "")
           }
