@@ -45,13 +45,35 @@ object FromRdf {
   private val doubleRe = "^(\\+|-)?(\\d+(\\.\\d*)?|\\.\\d+)([Ee](\\+|-)?\\d+)?$".r
 
   /** RDF node → JSON-LD object ({"@id": ...} or value object). */
-  def rdfToObject(n: RdfNode, useNativeTypes: Boolean): JObj = {
+  def rdfToObject(n: RdfNode, useNativeTypes: Boolean, rdfDirection: String = ""): JObj = {
     n match {
       case RIri(v) => val m = Json.obj(); m("@id") = v; m
       case RBlank(v) => val m = Json.obj(); m("@id") = v; m
       case RLiteral(value, datatype, language) =>
         val rval = Json.obj()
         rval("@value") = value
+        if (datatype == RdfJson) {
+          // rdf:JSON literal → native JSON value with @type @json
+          rval("@value") =
+            try Json.parse(value)
+            catch { case e: Exception =>
+              throw JsonLdError(JsonLdError.InvalidJsonLiteral, String.valueOf(e.getMessage))
+            }
+          rval("@type") = "@json"
+          return rval
+        }
+        if (rdfDirection == "i18n-datatype" &&
+            datatype != null && datatype.startsWith("https://www.w3.org/ns/i18n#")) {
+          val frag = datatype.substring("https://www.w3.org/ns/i18n#".length)
+          val us = frag.indexOf('_')
+          if (us >= 0) {
+            val lang = frag.substring(0, us)
+            val dir = frag.substring(us + 1)
+            if (lang.nonEmpty) rval("@language") = lang
+            if (dir.nonEmpty) rval("@direction") = dir
+            return rval
+          }
+        }
         if (language != null && language.nonEmpty) {
           rval("@language") = language
         } else if (useNativeTypes) {
@@ -106,7 +128,7 @@ object FromRdf {
         if (predicate == RdfType && (obj.isIri || obj.isBlank) && !opts.useRdfType) {
           mergeValue(node.values, "@type", obj.value)
         } else {
-          val value = rdfToObject(obj, opts.useNativeTypes)
+          val value = rdfToObject(obj, opts.useNativeTypes, opts.rdfDirection)
           if (parsedWithoutDuplicates) {
             // parser guarantees in-graph quad uniqueness: append directly
             val lst = node.values.get(predicate) match {
@@ -125,6 +147,40 @@ object FromRdf {
               referencedOnce(obj.value) = null
             } else {
               referencedOnce(obj.value) = new UsagesNode(node, predicate, value)
+            }
+          }
+        }
+      }
+    }
+
+    // compound-literal reconstitution (rdfDirection == "compound-literal"):
+    // a blank node carrying rdf:direction collapses back into a value
+    // object at its (single) usage site
+    if (opts.rdfDirection == "compound-literal") {
+      graphMap.values.foreach { graph =>
+        graph.keys.filter(_.startsWith("_:")).toSeq.foreach { id =>
+          val node = graph(id)
+          if (node.values.contains(RdfDirection)) {
+            referencedOnce.get(id).filter(_ != null).foreach { usage =>
+              val vObj = usage.value
+              vObj.clear()
+              node.values.get(RdfValue) match {
+                case Some(a: JArr @unchecked) if a.nonEmpty =>
+                  vObj("@value") = a.head.asInstanceOf[JObj].getOrElse("@value", null)
+                case _ =>
+              }
+              node.values.get(RdfLanguage) match {
+                case Some(a: JArr @unchecked) if a.nonEmpty =>
+                  vObj("@language") = String.valueOf(
+                    a.head.asInstanceOf[JObj].getOrElse("@value", "")).toLowerCase
+                case _ =>
+              }
+              node.values(RdfDirection) match {
+                case a: JArr @unchecked if a.nonEmpty =>
+                  vObj("@direction") = a.head.asInstanceOf[JObj].getOrElse("@value", null)
+                case _ =>
+              }
+              graph.remove(id)
             }
           }
         }

@@ -14,6 +14,15 @@ import Json._
   */
 object Jcs {
 
+  /** Canonicalize an already-parsed JSON value (strings are JSON string
+    * values, never raw JSON text).
+    */
+  def canonicalizeValue(value: Any): String = {
+    val sb = new StringBuilder
+    write(sb, value)
+    sb.toString
+  }
+
   def canonicalize(value: Any): String = {
     val sb = new StringBuilder
     value match {

@@ -22,14 +22,15 @@ object ToRdf {
     Json.sortedKeys(nodeMap).foreach { graphName =>
       if (!isRelativeIri(graphName)) {
         val graph = nodeMap(graphName).asInstanceOf[JObj]
-        graphToRdf(dataset, graphName, graph, issuer, opts.produceGeneralizedRdf)
+        graphToRdf(dataset, graphName, graph, issuer, opts.produceGeneralizedRdf, opts.rdfDirection)
       }
     }
     dataset
   }
 
   def graphToRdf(ds: RdfDataset, graphName: String, graph: JObj,
-                 issuer: IdentifierIssuer, produceGeneralizedRdf: Boolean): Unit = {
+                 issuer: IdentifierIssuer, produceGeneralizedRdf: Boolean,
+                 rdfDirection: String = ""): Unit = {
     val triples = mutable.ArrayBuffer.empty[Quad]
     val graphNode: RdfNode =
       if (graphName == "@default") null
@@ -59,7 +60,7 @@ object ToRdf {
             val subject: RdfNode = if (id.startsWith("_:")) RBlank(id) else RIri(id)
             val predicate: RdfNode = if (property.startsWith("_:")) RBlank(property) else RIri(property)
             values.foreach { item =>
-              val obj = objectToRdf(item, issuer, graphNode, triples)
+              val obj = objectToRdf(item, issuer, graphNode, triples, rdfDirection)
               if (obj != null) triples += Quad(subject, predicate, obj, graphNode)
             }
           }
@@ -73,7 +74,7 @@ object ToRdf {
     * into `triples` as a side effect.
     */
   def objectToRdf(item: Any, issuer: IdentifierIssuer, graph: RdfNode,
-                  triples: mutable.ArrayBuffer[Quad]): RdfNode = {
+                  triples: mutable.ArrayBuffer[Quad], rdfDirection: String = ""): RdfNode = {
     if (isValueObject(item)) {
       val itemMap = item.asInstanceOf[JObj]
       val value = itemMap.getOrElse("@value", null)
@@ -82,6 +83,36 @@ object ToRdf {
         case _ => null
       }
       if (datatype == "@json") datatype = RdfJson
+      // rdf:JSON literals canonicalize the parsed JSON VALUE (a bare JSON
+      // string stays quoted; numbers use ES6 forms) — before any native
+      // bool/number conversion
+      if (datatype == RdfJson) {
+        val canonical =
+          try Jcs.canonicalizeValue(value)
+          catch { case e: Exception => "JSON Canonicalization error " + e.getMessage }
+        return RLiteral(canonical, RdfJson, "")
+      }
+
+      // JSON-LD 1.1 base-direction serialization (rdfDirection option)
+      if (itemMap.contains("@direction") && value.isInstanceOf[String]) {
+        val dir = String.valueOf(itemMap("@direction"))
+        val lang = itemMap.getOrElse("@language", "") match {
+          case s: String => s.toLowerCase
+          case _ => ""
+        }
+        if (rdfDirection == "i18n-datatype") {
+          return RLiteral(value.asInstanceOf[String],
+            "https://www.w3.org/ns/i18n#" + lang + "_" + dir, "")
+        } else if (rdfDirection == "compound-literal") {
+          val bn = RBlank(issuer.getId(""))
+          triples += Quad(bn, RIri(RdfValue),
+            RLiteral(value.asInstanceOf[String], XsdString, ""), graph)
+          if (lang.nonEmpty)
+            triples += Quad(bn, RIri(RdfLanguage), RLiteral(lang, XsdString, ""), graph)
+          triples += Quad(bn, RIri(RdfDirection), RLiteral(dir, XsdString, ""), graph)
+          return bn
+        }
+      }
 
       value match {
         case b: java.lang.Boolean =>
@@ -101,17 +132,12 @@ object ToRdf {
             RLiteral(value.asInstanceOf[String], if (datatype == null) RdfLangString else datatype, lang)
           } else if (datatype == null) {
             RLiteral(value.asInstanceOf[String], XsdString, "")
-          } else if (datatype != RdfJson) {
-            RLiteral(value.asInstanceOf[String], datatype, "")
           } else {
-            val canonical =
-              try Jcs.canonicalize(value)
-              catch { case e: Exception => "JSON Canonicalization error " + e.getMessage }
-            RLiteral(canonical, datatype, "")
+            RLiteral(value.asInstanceOf[String], datatype, "")
           }
       }
     } else if (isListObject(item)) {
-      parseList(item.asInstanceOf[JObj]("@list").asInstanceOf[JArr], issuer, graph, triples)
+      parseList(item.asInstanceOf[JObj]("@list").asInstanceOf[JArr], issuer, graph, triples, rdfDirection)
     } else {
       val id = item match {
         case m: JObj @unchecked => m.getOrElse("@id", null) match {
@@ -126,7 +152,7 @@ object ToRdf {
   }
 
   private def parseList(list: JArr, issuer: IdentifierIssuer, graph: RdfNode,
-                        triples: mutable.ArrayBuffer[Quad]): RdfNode = {
+                        triples: mutable.ArrayBuffer[Quad], rdfDirection: String = ""): RdfNode = {
     val nilIri = RIri(RdfNil)
     val first = RIri(RdfFirst)
     val rest = RIri(RdfRest)
@@ -135,14 +161,14 @@ object ToRdf {
     var subj: RdfNode = res
     var i = 0
     while (i < list.size - 1) {
-      val obj = objectToRdf(list(i), issuer, graph, triples)
+      val obj = objectToRdf(list(i), issuer, graph, triples, rdfDirection)
       val next = RBlank(issuer.getId(""))
       triples += Quad(subj, first, obj, graph)
       triples += Quad(subj, rest, next, graph)
       subj = next
       i += 1
     }
-    val obj = objectToRdf(list.last, issuer, graph, triples)
+    val obj = objectToRdf(list.last, issuer, graph, triples, rdfDirection)
     triples += Quad(subj, first, obj, graph)
     triples += Quad(subj, rest, nilIri, graph)
     res

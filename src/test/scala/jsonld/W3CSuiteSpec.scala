@@ -28,9 +28,9 @@ class W3CSuiteSpec extends AnyFunSuite {
     "expand-manifest.jsonld" -> Seq("#tpr28", "#tpr38", "#tpr39", "#t0122",
       "#tc032", "#tc033", "#tec02", "#ter52"),
     "compact-manifest.jsonld" -> Seq("#tin", "#tp001"),
-    "fromRdf-manifest.jsonld" -> Seq("#tdi05", "#tdi06", "#tdi11", "#tdi12", "#tjs"),
-    "toRdf-manifest.jsonld" -> Seq("#tc032", "#tc033", "#tdi09", "#tdi10", "#tdi11", "#tdi12",
-      "#te075", "#tjs03", "#tjs17", "#tec02", "#ter52",
+    "fromRdf-manifest.jsonld" -> Seq(),
+    "toRdf-manifest.jsonld" -> Seq("#tc032", "#tc033",
+      "#te075", "#tec02", "#ter52",
       "#tpr28", "#tpr38", "#tpr39"),
     "html-manifest.jsonld" -> Seq("#t"),
     "remote-doc-manifest.jsonld" -> Seq("#t0013"),
