@@ -26,7 +26,7 @@ object Compaction {
 
     terms.foreach { term =>
       val definition = ctx.terms(term)
-      if (definition != null) {
+      if (definition != null && definition.id != null && definition.id.nonEmpty) {
         val containerJoin =
           if (definition.container.isEmpty) "@none"
           else definition.container.sorted.mkString("")
@@ -583,7 +583,7 @@ object Compaction {
             addValue(result, alias, expandedValue, asArray = false, allowDuplicate = true)
             continueLoop = true
           } else if (expandedProperty != "@graph" && expandedProperty != "@list" &&
-                     isKeyword(expandedProperty)) {
+                     expandedProperty != "@included" && isKeyword(expandedProperty)) {
             val alias = compactIri(activeCtx, expandedProperty, null, relativeToVocab0 = false, reverse = false)
             addValue(result, alias, expandedValue, asArray = false, allowDuplicate = true)
             continueLoop = true

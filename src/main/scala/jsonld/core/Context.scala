@@ -51,6 +51,10 @@ final class Context(val options: JsonLdOptions) extends Serializable {
   var terms: mutable.HashMap[String, TermDefinition] = mutable.HashMap.empty
   var protectedTerms: mutable.HashSet[String] = mutable.HashSet.empty
   var previousContext: Context = null
+  // createTermDefinition validation depth guard (spec: "validate scoped
+  // context" — a validation parse does not validate nested scoped
+  // contexts, which terminates circular scoped-context chains)
+  var noValidateScoped: Boolean = false
   // built lazily by Compaction.getInverse; never copied (regenerated)
   @transient var inverseCtx: mutable.HashMap[String, Any] = null
   @transient var fastCurie: mutable.HashMap[String, Any] = null
@@ -64,6 +68,7 @@ final class Context(val options: JsonLdOptions) extends Serializable {
     c.hasLanguage = hasLanguage; c.direction = direction
     c.processingMode = processingMode
     c.version = version
+    c.noValidateScoped = noValidateScoped
     c.terms = terms.clone()
     c.protectedTerms = protectedTerms.clone()
     if (previousContext != null) c.previousContext = previousContext.copyContext()
@@ -279,6 +284,9 @@ final class Context(val options: JsonLdOptions) extends Serializable {
       case Some(false) => throw JsonLdError(JsonLdError.CyclicIriMapping, term)
       case None =>
     }
+    if (term.isEmpty)
+      throw JsonLdError(JsonLdError.InvalidTermDefinition, "the empty string is not a valid term")
+
     defined(term) = false
 
     val value = context.getOrElse(term, null)
@@ -287,7 +295,24 @@ final class Context(val options: JsonLdOptions) extends Serializable {
       case _ => false
     }
     if (value == null || nullId) {
-      terms(term) = null
+      // a null mapping still occupies the term slot and can be protected
+      val prevDef = terms.getOrElse(term, null)
+      val nullDef = new TermDefinition // id stays "" (drops the term)
+      val protectedHere = value match {
+        case m: JObj @unchecked => m.get("@protected") match {
+          case Some(b: java.lang.Boolean) => Some(b.booleanValue())
+          case _ => None
+        }
+        case _ => None
+      }
+      if (protectedHere.contains(true) ||
+          (defined.getOrElse("@protected", false) && !protectedHere.contains(false))) {
+        protectedTerms += term
+        nullDef.prot = true
+      }
+      if (prevDef != null && prevDef.prot && !overrideProtected && !prevDef.sameAs(nullDef))
+        throw JsonLdError(JsonLdError.ProtectedTermRedefinition, term)
+      terms(term) = nullDef
       defined(term) = true
       return
     }
@@ -300,9 +325,15 @@ final class Context(val options: JsonLdOptions) extends Serializable {
     }
 
     if (isKeyword(term)) {
+      // the only permitted keyword redefinition: @type gaining
+      // @container: @set and/or @protected (an empty definition is not it)
       val allowedKeysOnly = valMap.keys.forall(k => k == "@container" || k == "@protected")
-      val isSet = valMap.getOrElse("@container", null) == "@set" || !valMap.contains("@container")
-      if (!(isMode11 && term == "@type" && allowedKeysOnly && isSet))
+      val containerOk = valMap.get("@container") match {
+        case Some("@set") => true
+        case None => valMap.contains("@protected")
+        case _ => false
+      }
+      if (!(isMode11 && term == "@type" && allowedKeysOnly && containerOk))
         throw JsonLdError(JsonLdError.KeywordRedefinition, term)
     } else if (hasKeywordForm(term)) {
       return // reserved for future use; ignored
@@ -335,11 +366,12 @@ final class Context(val options: JsonLdOptions) extends Serializable {
         case s: String => s
         case other => throw JsonLdError(JsonLdError.InvalidIriMapping, s"expected string for @reverse, got $other")
       }
+      // values with keyword form are reserved: ignore the whole term
+      if (hasKeywordForm(reverseStr) && !isKeyword(reverseStr)) return
       val id = expandIri(reverseStr, relative = false, vocabFlag = true, context, defined)
-      if (id == null || !isAbsoluteIri(id))
+      if (id == null || id.isEmpty || !isAbsoluteIri(id))
         throw JsonLdError(JsonLdError.InvalidIriMapping,
           s"@reverse value must be an absolute IRI or blank node id, got $id")
-      if (hasKeywordForm(reverseStr) && !isKeyword(reverseStr)) return
       definition.id = id
       definition.reverse = true
     } else if (valMap.contains("@id")) {
@@ -362,8 +394,10 @@ final class Context(val options: JsonLdOptions) extends Serializable {
             defined.remove(term)
           }
           val termHasSuffix = res.nonEmpty && ":/?#[]@".contains(res.last)
+          // only SIMPLE terms (plain string definitions) become prefixes —
+          // expanded term definitions are never CURIE-usable
           definition.prefix = java.lang.Boolean.valueOf(
-            !termHasColon && termHasSuffix && (simpleTerm || isMode10))
+            !termHasColon && termHasSuffix && simpleTerm)
         } else {
           throw JsonLdError(JsonLdError.InvalidIriMapping,
             "resulting IRI mapping should be a keyword, absolute IRI or blank node")
@@ -486,6 +520,21 @@ final class Context(val options: JsonLdOptions) extends Serializable {
     }
 
     if (valMap.contains("@context")) {
+      // validate eagerly (JSON-LD 1.1 createTermDefinition step 21): any
+      // error parsing the scoped context surfaces as invalid scoped
+      // context at DEFINITION time; application stays lazy (raw storage).
+      // The validation parse itself skips nested validations (flag), so
+      // circular scoped-context chains terminate.
+      if (!noValidateScoped) {
+        noValidateScoped = true
+        try parseWith(valMap("@context"), List.empty, parsingRemote = false,
+          propagate0 = true, protectedFlag = false, overrideProtected = true)
+        catch {
+          case e: JsonLdError =>
+            noValidateScoped = false
+            throw JsonLdError(JsonLdError.InvalidScopedContext, s"$term: ${e.getMessage}")
+        } finally noValidateScoped = false
+      }
       definition.scopedContext = valMap("@context")
       definition.hasContext = true
     }

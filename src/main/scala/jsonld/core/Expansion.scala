@@ -248,6 +248,12 @@ object Expansion {
               value match {
                 case s: String =>
                   expandedValue = activeCtx.expandIri(s, relative = true, vocabFlag = false, null, null)
+                  if (expandedValue == "") {
+                    // keyword-form @id values are reserved: record the id
+                    // as explicit null (dropped again at RDF conversion)
+                    resultMap("@id") = null
+                    continueOuter = true
+                  }
                 case m: JObj @unchecked if frameExpansion =>
                   if (m.nonEmpty)
                     throw JsonLdError(JsonLdError.InvalidIdValue, "@id must be an empty object for framing")

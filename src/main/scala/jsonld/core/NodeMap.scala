@@ -113,11 +113,15 @@ object NodeMap {
     }
 
     // element is a node object
-    var id: String = elem.getOrElse("@id", null) match {
-      case null => issuer.getId("")
-      case s: String if s.startsWith("_:") => issuer.getId(s)
-      case s: String => s
-      case _ => issuer.getId("")
+    var id: String = {
+      if (!elem.contains("@id")) issuer.getId("")
+      else elem("@id") match {
+        case s: String if s.startsWith("_:") => issuer.getId(s)
+        case s: String => s
+        // present-but-null @id (reserved keyword-form): a relative id that
+        // graphToRdf/objectToRdf silently drop
+        case _ => ""
+      }
     }
 
     val node: JObj = graph.getOrElse(id, null) match {

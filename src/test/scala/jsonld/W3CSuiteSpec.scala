@@ -25,13 +25,10 @@ class W3CSuiteSpec extends AnyFunSuite {
   // (/root/reference/ld/skip_test.go) — we intentionally do NOT inherit
   // skips that our implementation passes.
   private val skips: Map[String, Seq[String]] = Map(
-    "expand-manifest.jsonld" -> Seq("#tpr28", "#tpr38", "#tpr39", "#t0122",
-      "#tc032", "#tc033", "#tec02", "#ter52"),
-    "compact-manifest.jsonld" -> Seq("#tin", "#tp001"),
+    "expand-manifest.jsonld" -> Seq(),
+    "compact-manifest.jsonld" -> Seq(),
     "fromRdf-manifest.jsonld" -> Seq(),
-    "toRdf-manifest.jsonld" -> Seq("#tc032", "#tc033",
-      "#te075", "#tec02", "#ter52",
-      "#tpr28", "#tpr38", "#tpr39"),
+    "toRdf-manifest.jsonld" -> Seq("#te075"),
     "html-manifest.jsonld" -> Seq("#t"),
     "remote-doc-manifest.jsonld" -> Seq("#t0013"),
     "frame-manifest.jsonld" -> Seq("#t0011", "#t0023", "#t0026", "#t0027", "#t0028", "#t0029",
