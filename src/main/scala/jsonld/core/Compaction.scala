@@ -538,6 +538,18 @@ object Compaction {
             arrayify(expandedValue).foreach {
               case s: String =>
                 compactedValues += compactIri(inputCtx, s, null, relativeToVocab0 = true, reverse = false)
+              case m: JObj @unchecked if m.contains("@preserve") =>
+                // framing @type defaults ride in @preserve wrappers; the
+                // preserved IRIs still compact as types
+                val inner = Json.arr()
+                arrayify(m("@preserve")).foreach {
+                  case s: String =>
+                    inner += compactIri(inputCtx, s, null, relativeToVocab0 = true, reverse = false)
+                  case v => inner += v
+                }
+                val pm = Json.obj()
+                pm("@preserve") = (if (inner.size == 1) inner.head else inner)
+                compactedValues += pm
               case other => compactedValues += other
             }
             val container = activeCtx.getContainer(alias)

@@ -311,10 +311,21 @@ object Expansion {
                     expandedValue = merged
                   }
                 case m: JObj @unchecked =>
-                  if (m.nonEmpty)
+                  if (m.isEmpty) expandedValue = value
+                  else if (frameExpansion && m.contains("@default")) {
+                    // frame pattern: @type with a default — expand the
+                    // default IRIs, keep the pattern shape
+                    val defs = Json.arr()
+                    arrayify(m("@default")).foreach {
+                      case s: String =>
+                        defs += typeScopedContext.expandIri(s, relative = true, vocabFlag = true, null, null)
+                      case v => defs += v
+                    }
+                    val out = Json.obj(); out("@default") = defs
+                    expandedValue = out
+                  } else
                     throw JsonLdError(JsonLdError.InvalidTypeValue,
                       "@type value must be an empty object for framing")
-                  expandedValue = value
                 case other => throw JsonLdError(JsonLdError.InvalidTypeValue, String.valueOf(other))
               }
 

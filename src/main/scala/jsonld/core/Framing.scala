@@ -4,14 +4,16 @@ import Json._
 import JsonLdUtils._
 import scala.collection.mutable
 
-/** Framing Algorithm (JSON-LD Framing 1.1). Deeply stateful per document:
-  * unique-embeds map, graph stack, subject stack. Pure across documents.
+/** Framing Algorithm (JSON-LD Framing 1.1 W3C Recommendation §4.2).
+  * Deeply stateful per document: unique-embeds map, graph stack, subject
+  * stack. Pure across documents.
   */
 object Framing {
 
-  final val EmbedLast = "@last"
+  final val EmbedOnce = "@once"
   final val EmbedNever = "@never"
   final val EmbedAlways = "@always"
+  final val EmbedLast = "@last" // legacy alias of @once (kept for API compat)
 
   private final class EmbedNode(val parent: Any, val property: String)
   private final class StackNode(val subject: JObj, val graph: String)
@@ -50,7 +52,8 @@ object Framing {
       case _ => Json.obj()
     }
 
-    val framed = matchFrame(state, Json.sortedKeys(state.subjects), frameParam, Json.arr(), "")
+    val framed = matchFrame(state, Json.sortedKeys(state.subjects), frameParam,
+      Json.arr(), "", embedded = false)
 
     val bnodesToClear = state.bnodeMap.collect {
       case (id, arr: JArr @unchecked) if arr.size == 1 => id
@@ -69,7 +72,12 @@ object Framing {
         }
         val node = graph(id).asInstanceOf[JObj]
         Json.sortedKeys(node).foreach { property =>
-          if (isKeyword(property)) {
+          if (property == "@type") {
+            // types union across graphs in @merged
+            arrayify(node(property)).foreach { t =>
+              addValue(mergedNode, "@type", t, asArray = true, allowDuplicate = false)
+            }
+          } else if (isKeyword(property)) {
             mergedNode(property) = Json.deepClone(node(property))
           } else {
             node(property).asInstanceOf[JArr].foreach { v =>
@@ -88,7 +96,7 @@ object Framing {
     }
 
   private def matchFrame(state: FramingState, subjects: Seq[String], frame: JObj,
-                         parent0: Any, property: String): Any = {
+                         parent0: Any, property: String, embedded: Boolean): Any = {
     var parent = parent0
     val embed = getFrameEmbed(frame, state.embed)
     val explicitOn = getFrameFlag(frame, "@explicit", state.explicit)
@@ -101,6 +109,8 @@ object Framing {
     val matches = filterSubjects(state, subjects, frame, requireAll)
 
     matches.keys.toSeq.sorted(Json.utf8Ordering).foreach { id =>
+      val subject = matches(id).asInstanceOf[JObj]
+
       if (property == "") {
         state.uniqueEmbeds = mutable.HashMap(state.graph -> mutable.HashMap.empty[String, EmbedNode])
       } else if (!state.uniqueEmbeds.contains(state.graph)) {
@@ -112,15 +122,20 @@ object Framing {
       if (id.startsWith("_:"))
         addValue(state.bnodeMap, id, output, asArray = true, allowDuplicate = true)
 
-      if (embed == EmbedNever || createsCircularReference(id, state.graph, state)) {
-        parent = addFrameOutput(parent, property, output)
-      } else {
-        if (embed == EmbedLast) {
-          if (state.uniqueEmbeds(state.graph).contains(id)) removeEmbed(state, id)
-          state.uniqueEmbeds(state.graph)(id) = new EmbedNode(parent, property)
-        }
+      val alreadyOnce = embed == EmbedOnce && state.uniqueEmbeds(state.graph).contains(id)
+      val skipEmbed =
+        (embedded && (embed == EmbedNever ||
+          createsCircularReference(id, state.graph, state))) || alreadyOnce
 
-        val subject = matches(id).asInstanceOf[JObj]
+      if (skipEmbed) {
+        // referenced use sites keep a node reference; non-embedded sweeps
+        // (top level / graph / @included recursion) drop the duplicate
+        if (embedded) parent = addFrameOutput(parent, property, output)
+      } else {
+        // legacy @last: replace any earlier embed with a reference
+        if (embed == EmbedLast && state.uniqueEmbeds(state.graph).contains(id))
+          removeEmbed(state, id)
+        state.uniqueEmbeds(state.graph)(id) = new EmbedNode(parent, property)
         state.subjectStack += new StackNode(subject, state.graph)
 
         // subject is also the name of a graph
@@ -141,9 +156,22 @@ object Framing {
             state.graphStack += state.graph
             state.graph = id
             val gSubjects = Json.sortedKeys(state.graphMap(state.graph).asInstanceOf[JObj])
-            matchFrame(state, gSubjects, subframe, output, "@graph")
+            matchFrame(state, gSubjects, subframe, output, "@graph", embedded = false)
             state.graph = state.graphStack.remove(state.graphStack.length - 1)
           }
+        }
+
+        // frame with @included: recurse over ALL subjects with its subframe
+        if (frame.contains("@included")) {
+          val subframe = frame("@included") match {
+            case a: JArr @unchecked => a.headOption match {
+              case Some(m: JObj @unchecked) => m
+              case _ => Json.obj()
+            }
+            case m: JObj @unchecked => m
+            case _ => Json.obj()
+          }
+          matchFrame(state, subjects, subframe, output, "@included", embedded = false)
         }
 
         Json.sortedKeys(subject).foreach { prop =>
@@ -174,20 +202,27 @@ object Framing {
                     val subframe: JObj =
                       if (containsProp && isListObject(framePropVal.asInstanceOf[JArr].head))
                         framePropVal.asInstanceOf[JArr].head.asInstanceOf[JObj]("@list")
-                          .asInstanceOf[JArr].head.asInstanceOf[JObj]
+                          .asInstanceOf[JArr].headOption match {
+                          case Some(m: JObj @unchecked) => m
+                          case _ => flags
+                        }
                       else flags
-                    list = matchFrame(state, Seq(itemid), subframe, list, "@list").asInstanceOf[JObj]
+                    list = matchFrame(state, Seq(itemid), subframe, list, "@list",
+                      embedded = true).asInstanceOf[JObj]
                   } else {
-                    addFrameOutput(list, "@list", listitem)
+                    addFrameOutput(list, "@list", Json.deepClone(listitem))
                   }
                 }
               } else {
                 val subframe: JObj =
-                  if (containsProp) framePropVal.asInstanceOf[JArr].head.asInstanceOf[JObj]
+                  if (containsProp) framePropVal.asInstanceOf[JArr].headOption match {
+                    case Some(m: JObj @unchecked) => m
+                    case _ => flags
+                  }
                   else flags
                 if (isSubjectReference(item)) {
                   val itemid = itemMap("@id").asInstanceOf[String]
-                  matchFrame(state, Seq(itemid), subframe, output, prop)
+                  matchFrame(state, Seq(itemid), subframe, output, prop, embedded = true)
                 } else if (valueMatch(subframe, itemMap)) {
                   addFrameOutput(output, prop, Json.deepClone(item))
                 }
@@ -196,9 +231,16 @@ object Framing {
           }
         }
 
-        // defaults
+        // defaults — @type participates only via an @default pattern
         Json.sortedKeys(frame).foreach { prop =>
-          if (!isKeyword(prop)) {
+          val typeWithDefault = prop == "@type" && (frame(prop) match {
+            case a: JArr @unchecked => a.headOption.exists {
+              case m: JObj @unchecked => m.contains("@default")
+              case _ => false
+            }
+            case _ => false
+          })
+          if (typeWithDefault || !isKeyword(prop)) {
             val next: JObj = frame(prop) match {
               case a: JArr @unchecked if a.nonEmpty => a.head match {
                 case m: JObj @unchecked => m
@@ -220,7 +262,15 @@ object Framing {
 
         // reverse framing
         frame.get("@reverse") match {
-          case Some(reverse: JObj @unchecked) =>
+          case Some(reverseArr) =>
+            val reverse: JObj = reverseArr match {
+              case a: JArr @unchecked => a.headOption match {
+                case Some(m: JObj @unchecked) => m
+                case _ => Json.obj()
+              }
+              case m: JObj @unchecked => m
+              case _ => Json.obj()
+            }
             Json.sortedKeys(reverse).foreach { reverseProp =>
               state.subjects.keys.toSeq.sorted(Json.utf8Ordering).foreach { subj =>
                 val nodeValues = arrayify(
@@ -235,12 +285,15 @@ object Framing {
                     }
                     addValue(outputReverse, reverseProp, Json.arr(), asArray = true, allowDuplicate = true)
                     val subframe: JObj = reverse(reverseProp) match {
-                      case a: JArr @unchecked => a.head.asInstanceOf[JObj]
+                      case a: JArr @unchecked => a.headOption match {
+                        case Some(m: JObj @unchecked) => m
+                        case _ => Json.obj()
+                      }
                       case m: JObj @unchecked => m
                       case _ => Json.obj()
                     }
                     val res = matchFrame(state, Seq(subj), subframe,
-                      outputReverse(reverseProp), property)
+                      outputReverse(reverseProp), property, embedded = true)
                     outputReverse(reverseProp) = res
                     break = true
                   }
@@ -285,7 +338,9 @@ object Framing {
     }
     frameMap.get("@type").foreach { tv =>
       arrayify(tv).foreach {
+        case m: JObj @unchecked if m.isEmpty || m.contains("@default") =>
         case _: JObj @unchecked =>
+          throw JsonLdError(JsonLdError.InvalidFrame, s"invalid value of @type: $tv")
         case s: String if s.startsWith("_:") =>
           throw JsonLdError(JsonLdError.InvalidFrame, s"invalid value of @type: $tv")
         case _ =>
@@ -310,6 +365,10 @@ object Framing {
     }
     value match {
       case b: java.lang.Boolean => b.booleanValue()
+      case m: JObj @unchecked => m.getOrElse("@value", null) match {
+        case b: java.lang.Boolean => b.booleanValue()
+        case _ => default
+      }
       case "true" => true
       case "false" => false
       case _ => default
@@ -319,27 +378,156 @@ object Framing {
   def getFrameEmbed(frame: JObj, default: String): String = {
     getFrameValue(frame, "@embed") match {
       case null => default
-      case b: java.lang.Boolean => if (b) EmbedLast else EmbedNever
+      case b: java.lang.Boolean => if (b) EmbedOnce else EmbedNever
       case "@always" => EmbedAlways
       case "@never" => EmbedNever
-      case "@last" => EmbedLast
+      case "@once" => EmbedOnce
+      case "@last" => EmbedLast // legacy: last embed wins
+      case "@first" => EmbedOnce
       case s: String => throw JsonLdError(JsonLdError.InvalidEmbedValue, s"invalid value of @embed: $s")
       case _ => throw JsonLdError(JsonLdError.InvalidEmbedValue, "invalid value of @embed")
     }
   }
 
+  private def filterSubjects(state: FramingState, subjects: Seq[String], frame: JObj,
+                             requireAll: Boolean): mutable.LinkedHashMap[String, Any] = {
+    val rval = mutable.LinkedHashMap.empty[String, Any]
+    subjects.foreach { id =>
+      state.graphMap(state.graph).asInstanceOf[JObj].getOrElse(id, null) match {
+        case element: JObj @unchecked =>
+          if (filterSubject(state, element, frame, requireAll)) rval(id) = element
+        case _ =>
+      }
+    }
+    rval
+  }
+
+  private def inArray(v: Any, array: Seq[Any]): Boolean = array.exists(x => x == v)
+
+  /** Frame Matching (JSON-LD Framing 1.1 §2.2). */
+  def filterSubject(state: FramingState, subject: JObj, frame: JObj, requireAll: Boolean): Boolean = {
+    var wildcard = true
+    var matchesSome = false
+
+    Json.sortedKeys(frame).foreach { k =>
+      var matchThis = false
+      val nodeValues: JArr =
+        if (subject.contains(k)) arrayify(subject(k)) else Json.arr()
+      val frameValues = arrayify(frame.getOrElse(k, null))
+      val isEmpty = frameValues.isEmpty
+
+      var continueKey = false
+      if (k == "@id") {
+        val frameId = frameValues
+        if (frameId.isEmpty || frameId.headOption.exists(Expansion.isEmptyObject)) {
+          matchThis = true
+        } else {
+          matchThis = nodeValues.nonEmpty && inArray(nodeValues.head, frameId.toSeq)
+        }
+        if (!requireAll) return matchThis
+      } else if (k == "@type") {
+        wildcard = false
+        if (isEmpty) {
+          if (nodeValues.nonEmpty) return false
+          matchThis = true
+        } else if (frameValues.size == 1 && Expansion.isEmptyObject(frameValues.head)) {
+          matchThis = nodeValues.nonEmpty
+        } else if (frameValues.headOption.exists {
+          case m: JObj @unchecked => m.contains("@default")
+          case _ => false
+        }) {
+          matchThis = true // has default: always matches
+        } else {
+          matchThis = nodeValues.exists(tv => frameValues.exists(tf => tv == tf))
+        }
+        if (!requireAll) return matchThis
+      } else if (isKeyword(k)) {
+        continueKey = true
+      } else {
+        val thisFrame: Any = if (frameValues.nonEmpty) frameValues.head else null
+        var hasDefault = false
+        if (thisFrame != null) {
+          validateFrame(thisFrame)
+          hasDefault = thisFrame match {
+            case m: JObj @unchecked => m.contains("@default")
+            case _ => false
+          }
+        }
+
+        wildcard = false
+
+        if (hasDefault) {
+          matchThis = true // a @default pattern always counts as matched
+        } else if (nodeValues.nonEmpty && isEmpty) {
+          return false // match-none pattern
+        } else if (thisFrame == null) {
+          if (nodeValues.nonEmpty) return false
+          matchThis = true
+        } else thisFrame match {
+          case fm: JObj @unchecked if isListObject(fm) =>
+            val listValue = fm("@list").asInstanceOf[JArr].headOption.orNull
+            if (nodeValues.nonEmpty && isListObject(nodeValues.head) && listValue != null) {
+              val nodeListValues = nodeValues.head.asInstanceOf[JObj]("@list").asInstanceOf[JArr]
+              listValue match {
+                case lv: JObj @unchecked if isValueObject(lv) =>
+                  matchThis = nodeListValues.exists {
+                    case x: JObj @unchecked => valueMatch(lv, x)
+                    case _ => false
+                  }
+                case lv: JObj @unchecked if isSubject(lv) || isSubjectReference(lv) =>
+                  matchThis = nodeListValues.exists {
+                    case x: JObj @unchecked => nodeMatch(state, lv, x, requireAll)
+                    case _ => false
+                  }
+                case _ =>
+              }
+            }
+          case fm: JObj @unchecked if isValueObject(fm) =>
+            matchThis = nodeValues.exists {
+              case nv: JObj @unchecked => valueMatch(fm, nv)
+              case _ => false
+            }
+          case fm: JObj @unchecked if fm.isEmpty ||
+              fm.keys.forall(k => k == "@explicit" || k == "@requireAll" || k == "@embed" ||
+                k == "@default" || k == "@omitDefault") =>
+            // wildcard / flags-only pattern: match when the node has values
+            matchThis = nodeValues.nonEmpty
+          case fm: JObj @unchecked if isSubject(fm) || isSubjectReference(fm) =>
+            matchThis = nodeValues.exists {
+              case nv: JObj @unchecked => nodeMatch(state, fm, nv, requireAll)
+              case _ => false
+            }
+          case _: JObj @unchecked =>
+            // wildcard / flags-only frame: match when the node has values
+            matchThis = nodeValues.nonEmpty
+          case _ =>
+            matchThis = false
+        }
+      }
+
+      if (!continueKey) {
+        if (!matchThis && requireAll) return false
+        matchesSome = matchesSome || matchThis
+      }
+    }
+    wildcard || matchesSome
+  }
+
   private def removeEmbed(state: FramingState, id: String): Unit = {
     val links = state.uniqueEmbeds(state.graph)
     val embedNode = links(id)
-    val parent = embedNode.parent
-    val property = embedNode.property
     val subject = Json.obj(); subject("@id") = id
-
-    parent match {
+    embedNode.parent match {
       case parentMap: JObj @unchecked =>
-        val useArray = parentMap.contains(property)
-        removeValue(parentMap, property, subject, useArray)
-        addValue(parentMap, property, subject, useArray, allowDuplicate = true)
+        val useArray = parentMap.contains(embedNode.property)
+        removeValue(parentMap, embedNode.property, subject, useArray)
+        addValue(parentMap, embedNode.property, subject, useArray, allowDuplicate = true)
+      case arr: JArr @unchecked =>
+        val idx = arr.indexWhere {
+          case m: JObj @unchecked => m.getOrElse("@id", null) == id
+          case _ => false
+        }
+        if (idx >= 0) arr(idx) = subject
       case _ =>
     }
     removeDependents(links, id)
@@ -371,130 +559,6 @@ object Framing {
         }
       }
     }
-  }
-
-  private def filterSubjects(state: FramingState, subjects: Seq[String], frame: JObj,
-                             requireAll: Boolean): mutable.LinkedHashMap[String, Any] = {
-    val rval = mutable.LinkedHashMap.empty[String, Any]
-    subjects.foreach { id =>
-      state.graphMap(state.graph).asInstanceOf[JObj].getOrElse(id, null) match {
-        case element: JObj @unchecked =>
-          if (filterSubject(state, element, frame, requireAll)) rval(id) = element
-        case _ =>
-      }
-    }
-    rval
-  }
-
-  private def inArray(v: Any, array: Seq[Any]): Boolean = array.exists(x => x == v)
-
-  def filterSubject(state: FramingState, subject: JObj, frame: JObj, requireAll: Boolean): Boolean = {
-    var wildcard = true
-    var matchesSome = false
-    var matchThis = false
-
-    Json.sortedKeys(frame).foreach { k =>
-      val v = frame(k)
-      val nodeValues: JArr =
-        if (subject.contains(k)) arrayify(subject(k)) else Json.arr()
-
-      val isEmpty = v match {
-        case a: JArr @unchecked => a.isEmpty
-        case m: JObj @unchecked => m.isEmpty
-        case _ => true
-      }
-
-      var continueKey = false
-      if (isKeyword(k)) {
-        if (k != "@id" && k != "@type") continueKey = true
-        else {
-          wildcard = true
-          if (k == "@id") {
-            val frameId = arrayify(frame("@id"))
-            if (frameId.nonEmpty) {
-              val head = frameId.head
-              if (!Expansion.isEmptyObject(head) || head.isInstanceOf[String])
-                return nodeValues.nonEmpty && inArray(nodeValues.head, frameId.toSeq)
-            }
-            matchThis = true
-            continueKey = true
-          } else if (k == "@type") {
-            if (isEmpty) {
-              if (nodeValues.nonEmpty) return false
-              matchThis = true
-            } else {
-              val frameType = frame("@type").asInstanceOf[JArr]
-              if (Expansion.isEmptyObject(frameType.head)) {
-                matchThis = nodeValues.nonEmpty
-              } else {
-                return nodeValues.exists(tv => frameType.exists(tf => tv == tf))
-              }
-            }
-          }
-        }
-      }
-
-      if (!continueKey) {
-        val thisFrame: Any = {
-          val x = arrayify(frame(k))
-          if (x.nonEmpty) x.head else null
-        }
-        var hasDefault = false
-        if (thisFrame != null) {
-          validateFrame(thisFrame)
-          hasDefault = thisFrame match {
-            case m: JObj @unchecked => m.contains("@default")
-            case _ => false
-          }
-        }
-
-        wildcard = false
-
-        if (nodeValues.isEmpty && hasDefault) {
-          // node lacks the property but the frame supplies @default:
-          // skip this key entirely (does not affect requireAll)
-          continueKey = true
-        } else if (nodeValues.nonEmpty && isEmpty) {
-          return false
-        } else if (thisFrame == null) {
-          if (nodeValues.nonEmpty) return false
-          matchThis = true
-        } else thisFrame match {
-          case fm: JObj @unchecked if !isValueObject(fm) && !isListObject(fm) =>
-            matchThis = nodeValues.nonEmpty
-          case fm: JObj @unchecked if isValueObject(fm) =>
-            if (nodeValues.exists {
-              case nv: JObj @unchecked => valueMatch(fm, nv)
-              case _ => false
-            }) matchThis = true
-          case fm: JObj @unchecked if isListObject(fm) =>
-            val listValue = fm("@list").asInstanceOf[JArr].head
-            if (nodeValues.nonEmpty && isListObject(nodeValues.head)) {
-              val nodeListValues = nodeValues.head.asInstanceOf[JObj]("@list").asInstanceOf[JArr]
-              listValue match {
-                case lv: JObj @unchecked if isValueObject(lv) =>
-                  if (nodeListValues.exists {
-                    case x: JObj @unchecked => valueMatch(lv, x)
-                    case _ => false
-                  }) matchThis = true
-                case lv: JObj @unchecked if isSubject(lv) || isSubjectReference(lv) =>
-                  if (nodeListValues.exists {
-                    case x: JObj @unchecked => nodeMatch(state, lv, x, requireAll)
-                    case _ => false
-                  }) matchThis = true
-                case _ =>
-              }
-            }
-          case _ =>
-        }
-
-        if (!continueKey) {
-          if (!matchThis && requireAll) return false
-          matchesSome = matchesSome || matchThis
-        }
-      }
-    }
-    wildcard || matchesSome
   }
 
   private def addFrameOutput(parent: Any, property: String, output: Any): Any = parent match {
@@ -567,18 +631,8 @@ object Framing {
           val id = v(idAlias)
           if (bnodesToClear.exists(_ == id)) v.remove(idAlias)
         }
-        val graphAlias = Compaction.compactIri(ctx, "@graph", null, relativeToVocab0 = false, reverse = false)
         v.keys.toSeq.foreach { prop =>
-          var result = removePreserve(ctx, v(prop), bnodesToClear, compactArrays)
-          val isListContainer = ctx.hasContainerMapping(prop, "@list")
-          val isSetContainer = ctx.hasContainerMapping(prop, "@set")
-          result match {
-            case rl: JArr @unchecked if compactArrays && rl.size == 1 &&
-                !isSetContainer && !isListContainer && prop != graphAlias =>
-              result = rl.head
-            case _ =>
-          }
-          v(prop) = result
+          v(prop) = removePreserve(ctx, v(prop), bnodesToClear, compactArrays)
         }
         v
       }

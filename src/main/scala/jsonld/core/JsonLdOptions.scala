@@ -15,11 +15,11 @@ final case class JsonLdOptions(
     useNativeTypes: Boolean = false,
     useRdfType: Boolean = false,
     // framing
-    embed: String = "@last",
+    embed: String = "@once",
     explicit: Boolean = false,
-    requireAll: Boolean = true,
+    requireAll: Boolean = false,
     omitDefault: Boolean = false,
-    omitGraph: Boolean = false,
+    omitGraph: java.lang.Boolean = null, // null → default by processing mode
     frameDefault: Boolean = false,
     // normalization
     algorithm: String = "URDNA2015",
@@ -28,6 +28,9 @@ final case class JsonLdOptions(
     rdfDirection: String = ""
 ) {
   def isMode11: Boolean = processingMode >= JsonLdOptions.JsonLd11
+  /** omitGraph defaults to true in JSON-LD 1.1 processing mode. */
+  def effectiveOmitGraph: Boolean =
+    if (omitGraph != null) omitGraph.booleanValue() else isMode11
 }
 
 object JsonLdOptions {

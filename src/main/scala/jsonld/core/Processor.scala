@@ -226,28 +226,51 @@ object Processor {
     var activeCtx = new Context(opts)
     if (frameCtx != null) activeCtx = activeCtx.parse(frameCtx)
 
-    val compacted = Compaction.compact(activeCtx, "", framed, opts.compactArrays)
     val bnodesToClear =
       if (opts.processingMode == JsonLdOptions.JsonLd10) Seq.empty[String]
       else bnodesToClear0
 
-    var rval = Compaction.serialize(activeCtx)
+    // prune single-use blank node identifiers BEFORE compaction: a graph
+    // object that loses its bnode @id becomes a simple graph, which is
+    // what @container: @graph compaction keys on
+    if (bnodesToClear.nonEmpty) pruneBnodeIds(framed, bnodesToClear.toSet)
+
+    val compacted = Compaction.compact(activeCtx, "", framed, opts.compactArrays)
+
+    // the output carries the frame's ORIGINAL @context (scoped contexts
+    // and term shapes don't survive active-context serialization)
     val graphAlias = Compaction.compactIri(activeCtx, "@graph", null,
       relativeToVocab0 = false, reverse = false)
-    compacted match {
-      case lst: JArr @unchecked => rval(graphAlias) = lst
-      case m: JObj @unchecked if opts.omitGraph =>
-        val tmp = rval.getOrElse("@context", null)
-        rval = m
-        if (tmp != null && !rval.contains("@context")) {
-          val ordered = Json.obj()
-          ordered("@context") = tmp
-          m.foreach { case (k, v) => ordered(k) = v }
-          rval = ordered
-        }
-      case m => rval(graphAlias) = Json.arr(m)
+    def withContext(body: JObj): JObj =
+      if (frameCtx == null) body
+      else {
+        val ordered = Json.obj()
+        ordered("@context") = Json.deepClone(frameCtx)
+        body.foreach { case (k, v) => if (k != "@context") ordered(k) = v }
+        ordered
+      }
+    val rval: JObj = compacted match {
+      case lst: JArr @unchecked =>
+        val m = Json.obj(); m(graphAlias) = lst; withContext(m)
+      case m: JObj @unchecked if opts.effectiveOmitGraph =>
+        withContext(m)
+      case m: JObj @unchecked =>
+        val w = Json.obj(); w(graphAlias) = Json.arr(m); withContext(w)
+      case other =>
+        val w = Json.obj(); w(graphAlias) = Json.arr(other); withContext(w)
     }
     Framing.removePreserve(activeCtx, rval, bnodesToClear, opts.compactArrays)
     rval
+  }
+
+  private def pruneBnodeIds(v: Any, clear: Set[String]): Unit = v match {
+    case a: JArr @unchecked => a.foreach(pruneBnodeIds(_, clear))
+    case m: JObj @unchecked =>
+      m.get("@id") match {
+        case Some(id: String) if clear.contains(id) && m.size > 1 => m.remove("@id")
+        case _ =>
+      }
+      m.values.foreach(pruneBnodeIds(_, clear))
+    case _ =>
   }
 }

@@ -13,8 +13,8 @@ class DebugFrameSpec extends AnyFunSuite {
   private def read(p: String) = new String(Files.readAllBytes(testDir.resolve(p)), "UTF-8")
 
   test("debug single frame test") {
-    val which = sys.env.getOrElse("DEBUG_TEST", "")
-    if (which.nonEmpty) {
+    val whichAll = sys.env.getOrElse("DEBUG_TEST", "")
+    whichAll.split(",").filter(_.nonEmpty).foreach { which =>
       val baseIri = "https://w3c.github.io/json-ld-framing/tests/"
       val docs = mutable.HashMap.empty[String, String]
       Files.walk(testDir).iterator().asScala.foreach { p =>
@@ -24,11 +24,13 @@ class DebugFrameSpec extends AnyFunSuite {
       val loader = new MapDocumentLoader(docs.toMap)
       val opts = JsonLdOptions(documentLoader = loader, omitGraph = false)
       val frame = Json.parse(read(s"frame/$which-frame.jsonld"))
-      val result = Processor.frame(baseIri + s"frame/$which-in.jsonld", frame, opts)
-      println("=== ACTUAL ===")
-      println(Json.serialize(result))
-      println("=== EXPECTED ===")
-      println(read(s"frame/$which-out.jsonld"))
+      try {
+        val result = Processor.frame(baseIri + s"frame/$which-in.jsonld", frame, opts)
+        println(s"=== ACTUAL $which ===")
+        println(Json.serialize(result))
+      } catch { case e: Exception => println(s"=== ACTUAL $which ERROR: $e") }
+      println(s"=== EXPECTED $which ===")
+      println(Json.serialize(Json.parse(read(s"frame/$which-out.jsonld"))))
     }
   }
 }

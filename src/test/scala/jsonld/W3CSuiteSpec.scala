@@ -25,18 +25,14 @@ class W3CSuiteSpec extends AnyFunSuite {
   // (/root/reference/ld/skip_test.go) — we intentionally do NOT inherit
   // skips that our implementation passes.
   private val skips: Map[String, Seq[String]] = Map(
-    "expand-manifest.jsonld" -> Seq(),
-    "compact-manifest.jsonld" -> Seq(),
-    "fromRdf-manifest.jsonld" -> Seq(),
+    // te075: generalized RDF emits blank-node predicates, which URDNA2015
+    // cannot relabel — the reference skips it for the same reason
     "toRdf-manifest.jsonld" -> Seq("#te075"),
-    "html-manifest.jsonld" -> Seq("#t"),
+    // t0013: HTML context documents (HTML processing is out of scope)
     "remote-doc-manifest.jsonld" -> Seq("#t0013"),
-    "frame-manifest.jsonld" -> Seq("#t0011", "#t0023", "#t0026", "#t0027", "#t0028", "#t0029",
-      "#t0030", "#t0031", "#t0032", "#t0034", "#t0035", "#t0036", "#t0037", "#t0038", "#t0039",
-      "#t0040", "#t0041", "#t0042", "#t0043", "#t0044", "#t0045", "#t0047", "#t0048", "#t0050",
-      "#t0051", "#t0055", "#t0060", "#t0061", "#t0062", "#t0063", "#t0064", "#t0065",
-      "#t0066", "#t0068", "#teo01", "#tg002", "#tg003", "#tg004", "#tg006",
-      "#tg007", "#tg008", "#tg009", "#tg010", "#tin", "#tp046", "#tp049", "#tp050", "#tra"),
+    "html-manifest.jsonld" -> Seq("#t"),
+    // test060: pathological factorial hash-N-degree case (reference skips;
+    // the pipeline quarantines such documents via the permutation budget)
     "normalization/manifest-urgna2012.jsonld" -> Seq("manifest-urgna2012#test060"),
     "normalization/manifest-urdna2015.jsonld" -> Seq("manifest-urdna2015#test060")
   )
@@ -185,7 +181,6 @@ class W3CSuiteSpec extends AnyFunSuite {
         var opts = JsonLdOptions(documentLoader = effectiveLoader)
         option.get("processingMode").foreach { pm =>
           opts = opts.copy(processingMode = pm.asInstanceOf[String])
-          if (pm == "json-ld-1.1") opts = opts.copy(omitGraph = true)
         }
         option.get("base").foreach(b => opts = opts.copy(base = b.asInstanceOf[String]))
         option.get("expandContext").foreach { ec =>
@@ -194,7 +189,8 @@ class W3CSuiteSpec extends AnyFunSuite {
         }
         option.get("compactArrays").foreach(v =>
           opts = opts.copy(compactArrays = v.asInstanceOf[Boolean]))
-        option.get("omitGraph").foreach(v => opts = opts.copy(omitGraph = v.asInstanceOf[Boolean]))
+        option.get("omitGraph").foreach(v =>
+          opts = opts.copy(omitGraph = java.lang.Boolean.valueOf(v.asInstanceOf[Boolean])))
         option.get("useNativeTypes").foreach(v =>
           opts = opts.copy(useNativeTypes = v.asInstanceOf[Boolean]))
         option.get("useRdfType").foreach(v => opts = opts.copy(useRdfType = v.asInstanceOf[Boolean]))
