@@ -1,0 +1,85 @@
+package jsonld.spark
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.SparkEntry
+
+/** Physical-plan assertions: the declarative plans must keep the shapes
+  * that make them viable at 100 TB — filters and projections reaching the
+  * parquet scan, dimension joins broadcast, aggregations partial before
+  * the shuffle, and whole-stage codegen on the relational stages.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Finalized (post-AQE) formatted plan: execute, then explain. */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("detection pre-filter is pushed to the parquet scan") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("lang") === "en" && col("n_chars") > 100)
+      .select("doc_id", "text")
+    val p = plan(docs)
+    assert(p.contains("PushedFilters") &&
+      (p.contains("IsNotNull(lang)") || p.contains("EqualTo(lang,en)")),
+      s"filters not pushed:\n$p")
+    // column pruning: the scan must not read all 5 columns
+    assert(p.contains("ReadSchema") && !p.contains("source"), s"columns not pruned:\n$p")
+  }
+
+  test("entity linking uses a broadcast hash join") {
+    // pred must be non-constant or Catalyst folds the equi-key away
+    val quads = spark.range(100).select(
+      concat(lit("s"), col("id")).as("subj"),
+      concat(lit(Corpus.Vocab), element_at(
+        array(lit("text"), lit("lang"), lit("chars")), (pmod(col("id"), lit(3)) + 1).cast("int")))
+        .as("pred"))
+    val joined = EntityLink.linkPredicates(quads, Corpus.vocabDictionary(spark))
+    val p = finalPlan(joined)
+    assert(p.contains("BroadcastHashJoin"), s"dimension join not broadcast:\n$p")
+  }
+
+  test("q1 aggregation is partial (map-side combine) before the shuffle") {
+    val df = SparkEntry.q1Pricing(spark, sfDir)
+    assert(plan(df).contains("partial"), s"no partial aggregation:\n${plan(df)}")
+    val p = finalPlan(df)
+    assert(p.contains("codegen id") || p.contains("WholeStageCodegen"), s"no codegen spans:\n$p")
+  }
+
+  test("q3 broadcasts the filtered customer dimension") {
+    val p = plan(SparkEntry.q3Revenue(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"customer dim not broadcast:\n$p")
+  }
+
+  test("corpus-wide quad dedup is a hash aggregate, not a sort") {
+    import org.apache.spark.sql.Encoders
+    val rows = (0 until 10).map(i =>
+      QuadRow(s"d$i", s"s$i", "p", s"o$i", 0.toByte, "", "", ""))
+    val q = spark.createDataset(rows)(Encoders.product[QuadRow])
+    val p = plan(Pipeline.dedupQuads(q))
+    assert(p.contains("HashAggregate") || p.contains("partial"),
+      s"dedup not hash-aggregated:\n$p")
+  }
+}
