@@ -25,9 +25,6 @@ class W3CSuiteSpec extends AnyFunSuite {
   // (/root/reference/ld/skip_test.go) — we intentionally do NOT inherit
   // skips that our implementation passes.
   private val skips: Map[String, Seq[String]] = Map(
-    // te075: generalized RDF emits blank-node predicates, which URDNA2015
-    // cannot relabel — the reference skips it for the same reason
-    "toRdf-manifest.jsonld" -> Seq("#te075"),
     // t0013: HTML context documents (HTML processing is out of scope)
     "remote-doc-manifest.jsonld" -> Seq("#t0013"),
     "html-manifest.jsonld" -> Seq("#t"),
@@ -284,8 +281,30 @@ class W3CSuiteSpec extends AnyFunSuite {
     try {
       val c1 = new Canonicalizer("URDNA2015").canonicalize(Rdf.parseNQuads(expected))
       val c2 = new Canonicalizer("URDNA2015").canonicalize(Rdf.parseNQuads(actual))
-      c1 == c2
-    } catch { case _: Exception => false }
+      if (c1 == c2) return true
+    } catch { case _: Exception => }
+    // generalized-RDF fallback: URDNA2015 does not relabel blank-node
+    // PREDICATES, so brute-force a label bijection over all positions
+    // (only viable for small bnode counts)
+    val bnodeRe = "_:[A-Za-z0-9]+".r
+    val expLines = sortLines(expected)
+    val actLines = sortLines(actual)
+    if (expLines.size != actLines.size) return false
+    val expB = expLines.flatMap(bnodeRe.findAllIn(_)).distinct
+    val actB = actLines.flatMap(bnodeRe.findAllIn(_)).distinct
+    if (expB.size != actB.size || expB.size > 6) return false
+    actB.permutations.exists { perm =>
+      val mapping = actB.zip(perm.indices.map(i => s"__B${i}__")).toMap
+      val finalMap = perm.zipWithIndex.map { case (a, i) => s"__B${i}__" -> expB(i) }.toMap
+      // two-step rename to avoid collisions
+      val renamed = actLines.map { l =>
+        var x = l
+        mapping.foreach { case (from, to) => x = x.replace(from, to) }
+        finalMap.foreach { case (from, to) => x = x.replace(from, to) }
+        x
+      }.sorted
+      renamed == expLines
+    }
   }
 
   private val manifests = Seq(
