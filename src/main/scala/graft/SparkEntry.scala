@@ -125,6 +125,15 @@ object SparkEntry {
       .orderBy("o_custkey", "rnk", "o_orderkey")
   }
 
+  /** Multi-level aggregation: ROLLUP over (returnflag, linestatus) —
+    * exercises grouping sets (null-extended subtotal rows).
+    */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
   def qSessionize(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -213,6 +222,7 @@ object SparkEntry {
     "q3_revenue" -> (q3Revenue(_, _)),
     "q5_region" -> (q5Region(_, _)),
     "q_window_top_orders" -> (qWindowTopOrders(_, _)),
+    "q_rollup" -> (qRollup(_, _)),
     "q_sessionize" -> (qSessionize(_, _)),
     // dedup family
     "dedup_exact" -> (dedupExact(_, _)),
@@ -310,6 +320,10 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |  FROM orders)
         |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q_sessionize" ->
       """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events FROM (
         |  SELECT user_id,
