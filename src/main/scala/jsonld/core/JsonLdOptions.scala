@@ -44,7 +44,8 @@ object JsonLdOptions {
   * is deliberately no HTTP loader (zero-egress: a cache miss is an error,
   * never a network call).
   */
-final case class RemoteDocument(documentUrl: String, document: Any, contextUrl: String = null)
+final case class RemoteDocument(documentUrl: String, document: Any, contextUrl: String = null,
+                                baseHref: String = null)
 
 trait DocumentLoader extends Serializable {
   def loadDocument(url: String): RemoteDocument

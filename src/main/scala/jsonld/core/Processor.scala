@@ -23,7 +23,15 @@ object Processor {
       case iri: String if iri.contains(":") =>
         val rd = opts.documentLoader.loadDocument(iri)
         input = rd.document
-        if (opts.base == "") opts = opts.copy(base = rd.documentUrl)
+        // an HTML <base href> resolves against the effective base (option
+        // base if set, else document URL) and wins; otherwise the
+        // document's own URL (after redirects) wins when the loader
+        // changed it
+        if (rd.baseHref != null) {
+          val baseBase = if (opts.base != "") opts.base else rd.documentUrl
+          opts = opts.copy(base = Uri.resolve(baseBase, rd.baseHref))
+        } else if (opts.base == "" || rd.documentUrl != iri)
+          opts = opts.copy(base = rd.documentUrl)
         if (rd.contextUrl != null && rd.contextUrl.nonEmpty) remoteContext = rd.contextUrl
       case _ =>
     }
@@ -179,7 +187,16 @@ object Processor {
         case other => Json.arr(other)
       }
       val alias = Compaction.compactIri(activeCtx, "@graph", null, relativeToVocab0 = false, reverse = false)
-      val rval = Compaction.serialize(activeCtx)
+      // echo the caller's context (active-context serialization loses
+      // scoped contexts and may re-compact term IRIs)
+      val rval = Json.obj()
+      val ctxOut = Json.deepClone(context)
+      val nonTrivial = ctxOut match {
+        case m: JObj @unchecked => m.nonEmpty
+        case null => false
+        case _ => true
+      }
+      if (nonTrivial) rval("@context") = ctxOut
       rval(alias) = compacted
       rval
     } else flattened

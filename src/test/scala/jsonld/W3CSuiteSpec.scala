@@ -26,8 +26,6 @@ class W3CSuiteSpec extends AnyFunSuite {
   // skips that our implementation passes.
   private val skips: Map[String, Seq[String]] = Map(
     // t0013: HTML context documents (HTML processing is out of scope)
-    "remote-doc-manifest.jsonld" -> Seq("#t0013"),
-    "html-manifest.jsonld" -> Seq("#t"),
     // test060: pathological factorial hash-N-degree case (reference skips;
     // the pipeline quarantines such documents via the permutation budget)
     "normalization/manifest-urgna2012.jsonld" -> Seq("manifest-urgna2012#test060"),
@@ -40,6 +38,7 @@ class W3CSuiteSpec extends AnyFunSuite {
   private val minPassRate: Map[String, Double] = Map(
     "expand-manifest.jsonld" -> 1.0,
     "remote-doc-manifest.jsonld" -> 1.0,
+    "html-manifest.jsonld" -> 1.0,
     "toRdf-manifest.jsonld" -> 1.0,
     "normalization/manifest-urdna2015.jsonld" -> 1.0,
     "normalization/manifest-urgna2012.jsonld" -> 1.0,
@@ -71,6 +70,11 @@ class W3CSuiteSpec extends AnyFunSuite {
       ct == "application/ld+json" || ct == "application/json" || ct.endsWith("+json")
 
     private def plain(url: String): RemoteDocument = files.get(url) match {
+      case Some(body) if url.endsWith(".html") =>
+        // HTML documents (including remote contexts) yield their first
+        // application/ld+json script element
+        val ex = HtmlExtract.extract(body, "", extractAllScripts = false)
+        RemoteDocument(url, ex.json, baseHref = ex.baseHref.orNull)
       case Some(body) => RemoteDocument(url, Json.parse(body))
       case None => throw JsonLdError(JsonLdError.LoadingDocumentFailed, s"not found: $url")
     }
@@ -101,6 +105,37 @@ class W3CSuiteSpec extends AnyFunSuite {
         return RemoteDocument(url, base.document, Uri.resolve(url, target))
       }
       plain(url)
+    }
+  }
+
+  /** Serves .html documents through HtmlExtract (fragment targeting,
+    * extractAllScripts, base href → documentUrl override).
+    */
+  private class HtmlAwareLoader(files: Map[String, String],
+                                extractAllScripts: Boolean) extends DocumentLoader {
+    def loadDocument(url: String): RemoteDocument = {
+      val hash = url.indexOf('#')
+      val (docUrl, fragment) = if (hash >= 0) (url.substring(0, hash), url.substring(hash + 1))
+                               else (url, "")
+      files.get(docUrl) match {
+        case Some(body) if docUrl.endsWith(".html") =>
+          val ex =
+            try HtmlExtract.extract(body, fragment, extractAllScripts)
+            catch {
+              // all-scripts mode with no scripts yields an empty document
+              case e: JsonLdError if e.code == JsonLdError.LoadingDocumentFailed &&
+                  extractAllScripts && fragment.isEmpty =>
+                HtmlExtract.Extracted(Json.arr(), None)
+            }
+          RemoteDocument(docUrl, ex.json, baseHref = ex.baseHref.orNull)
+        case Some(body) =>
+          try RemoteDocument(docUrl, Json.parse(body))
+          catch { case e: Exception =>
+            throw JsonLdError(JsonLdError.LoadingDocumentFailed, s"$docUrl: ${e.getMessage}")
+          }
+        case None =>
+          throw JsonLdError(JsonLdError.LoadingDocumentFailed, s"not preloaded: $docUrl")
+      }
     }
   }
 
@@ -137,7 +172,10 @@ class W3CSuiteSpec extends AnyFunSuite {
       val (testId, testType, evalType, inputName, expectName) =
         if (isJsonLdSuite) {
           val types = tm("@type").asInstanceOf[JArr].map(_.asInstanceOf[String])
-          (tm("@id").asInstanceOf[String], types.last, types.head,
+          // HtmlTest entries carry the operation as the middle type
+          val opType = if (types.last == "jld:HtmlTest" && types.size >= 2) types(types.size - 2)
+                       else types.last
+          (tm("@id").asInstanceOf[String], opType, types.head,
             tm("input").asInstanceOf[String],
             tm.getOrElse("expect", null).asInstanceOf[String])
         } else {
@@ -163,8 +201,8 @@ class W3CSuiteSpec extends AnyFunSuite {
       else {
         val inputUrl0 = baseIri + inputName
         val effectiveLoader =
-          if (option.contains("contentType") || option.contains("httpLink") ||
-              option.contains("redirectTo") || option.contains("httpStatus")) {
+          if (option.contains("httpLink") || option.contains("redirectTo") ||
+              option.contains("httpStatus")) {
             val links: Seq[String] = option.getOrElse("httpLink", null) match {
               case a: JArr @unchecked => a.toSeq.map(String.valueOf(_))
               case s: String => Seq(s)
@@ -174,6 +212,19 @@ class W3CSuiteSpec extends AnyFunSuite {
               option.getOrElse("contentType", null).asInstanceOf[String],
               links,
               option.getOrElse("redirectTo", null).asInstanceOf[String])
+          } else if (inputName.endsWith(".html") || inputName.contains(".html#")) {
+            // extractAllScripts defaults true for toRdf and flatten
+            val defaultAll = testType == "jld:ToRDFTest" || testType == "jld:FlattenTest"
+            new HtmlAwareLoader(docsMap,
+              option.get("extractAllScripts") match {
+                case Some(b: java.lang.Boolean) => b.booleanValue()
+                case _ => defaultAll
+              })
+          } else if (option.contains("contentType")) {
+            new SimulatedHttpLoader(docsMap, baseIri, inputUrl0,
+              option.getOrElse("contentType", null).asInstanceOf[String],
+              Seq.empty,
+              null)
           } else loader
         var opts = JsonLdOptions(documentLoader = effectiveLoader)
         option.get("processingMode").foreach { pm =>
@@ -310,6 +361,7 @@ class W3CSuiteSpec extends AnyFunSuite {
   private val manifests = Seq(
     "expand-manifest.jsonld",
     "remote-doc-manifest.jsonld",
+    "html-manifest.jsonld",
     "toRdf-manifest.jsonld",
     "normalization/manifest-urdna2015.jsonld",
     "normalization/manifest-urgna2012.jsonld",
