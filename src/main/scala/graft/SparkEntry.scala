@@ -203,6 +203,12 @@ object SparkEntry {
       t(spark, dir, "embeddings").filter(col("vec_id") =!= 0),
       col("embedding"), col("vec_id"), queryVector(spark, dir), k = 10, planes = 6)
 
+  def dedupEmbedCosine(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.embeddingNearDuplicates(
+      t(spark, dir, "embeddings"), col("embedding"), col("vec_id"),
+      threshold = 0.35, planes = 4)
+      .orderBy("vec_a", "vec_b")
+
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.featureSummary(
       MultimodalOps.extractFeatures(MultimodalOps.mediaTable(spark, dir)))
@@ -228,6 +234,7 @@ object SparkEntry {
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_minhash_lsh" -> (dedupMinhash(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
+    "dedup_embed_cosine" -> (dedupEmbedCosine(_, _)),
     "neighbor_jaccard" -> (neighborJaccard(_, _)),
     // text analysis
     "lang_id" -> (langId(_, _)),
@@ -255,6 +262,28 @@ object SparkEntry {
 
   private def stopList(s: Seq[String]): String =
     s.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  // --- portable-hash oracle fragments (mirror graft.ops.PortableHash) ---
+
+  /** h60 of a VARCHAR expression: first 15 hex digits of md5 as BIGINT. */
+  private def h60Sql(expr: String): String = ops.PortableHash.sqlH60(expr)
+
+  /** Word 3-gram shingles of a word-list expression `ws` (1-based DuckDB
+    * slices; mirrors TextOps.shingles for n = 3).
+    */
+  private def shingles3Sql(ws: String): String =
+    s"CASE WHEN len($ws) >= 3 THEN list_transform(range(1, len($ws) - 1), " +
+      s"i -> array_to_string($ws[i:i+2], ' ')) ELSE CAST([] AS VARCHAR[]) END"
+
+  /** The 32-entry MinHash signature literal over a base-hash-list column
+    * `bh` — same affine rehash family (constants inlined from DedupOps).
+    */
+  private def minhashSigSql(bh: String, k: Int): String =
+    (0 until k).map { i =>
+      s"CASE WHEN len($bh) > 0 THEN list_min(list_transform($bh, " +
+        s"h -> (h * ${ops.DedupOps.affineA(i)} + ${ops.DedupOps.affineB(i)}) % ${ops.DedupOps.MersenneP})) " +
+        s"ELSE ${Long.MaxValue} END"
+    }.mkString("[", ", ", "]")
 
   def oracleSql: Map[String, String] = Map(
     "jsonld_pipeline_quads" ->
@@ -324,8 +353,10 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    // CAST: DuckDB sum(INTEGER) is HUGEINT; Spark sum(int) is BIGINT — the
+    // driver hashes typed values, so the oracle must cast down explicitly.
     "q_sessionize" ->
-      """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events FROM (
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         |  SELECT user_id,
         |    CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
         |  FROM (
@@ -378,6 +409,92 @@ object SparkEntry {
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
         |    list_transform(qv, x -> CAST(x AS DOUBLE))), 4) AS cosine
         |FROM embeddings, q WHERE vec_id <> 0
-        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    // SRP-bucketed ANN: the oracle reproduces the exact bucket codes (the
+    // hyperplane components are portable md5-derived hashes; the dot
+    // product folds left-to-right in double, matching Spark's aggregate)
+    "ann_lsh_topk" ->
+      s"""WITH qb AS (SELECT ${SimilarityOps.srpCodeSql("embedding", 6)} AS qbucket,
+         |    embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, round(list_cosine_similarity(
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+         |    list_transform(qe, x -> CAST(x AS DOUBLE))), 4) AS cosine
+         |FROM embeddings, qb
+         |WHERE vec_id <> 0 AND ${SimilarityOps.srpCodeSql("embedding", 6)} = qbucket
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    // embedding near-dup: same-SRP-bucket candidate pairs, exact cosine
+    // verify. The Spark side's maxBucket cap (10000) can never bind at
+    // oracle scale (500 vectors), so the SQL omits the window.
+    "dedup_embed_cosine" ->
+      s"""WITH d AS (
+         |  SELECT vec_id, embedding, ${SimilarityOps.srpCodeSql("embedding", 4)} AS bucket
+         |  FROM embeddings
+         |  WHERE sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 1e-9)
+         |SELECT vec_a, vec_b, cosine FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    round(list_cosine_similarity(
+         |      list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+         |      list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS cosine
+         |  FROM d a JOIN d b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
+    // portable 60-bit SimHash: per-word md5-prefix hash, sign-summed per
+    // bit; docs with no words get simhash 0 via the left join
+    "dedup_simhash" ->
+      s"""WITH w AS (SELECT doc_id, unnest($wordsSql) AS word FROM documents),
+         |h AS (SELECT doc_id, ${h60Sql("word")} AS hv FROM w),
+         |bits AS (SELECT doc_id, b,
+         |    CASE WHEN sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+         |         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bit
+         |  FROM h CROSS JOIN range(60) t(b) GROUP BY doc_id, b),
+         |s AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash,
+         |  COALESCE(s.simhash, 0) >> 16 AS bucket
+         |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // MinHash+LSH near-dup: identical signature family (portable base
+    // hash + inlined affine constants); band collision = slice equality
+    // (the Spark side's xxhash64 band key only compresses the same slice);
+    // identical exact-dup collapse, per-bucket cap, and Jaccard verify
+    "dedup_minhash_lsh" ->
+      s"""WITH reps AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         |w AS (SELECT doc_id, $wordsSql AS ws FROM reps),
+         |sg AS (SELECT doc_id, list_distinct(${shingles3Sql("ws")}) AS sh FROM w),
+         |bh AS (SELECT doc_id, sh,
+         |    list_transform(sh, s -> ${h60Sql("s")} % ${ops.DedupOps.MersenneP}) AS bh FROM sg),
+         |sig AS (SELECT doc_id, sh, ${minhashSigSql("bh", 32)} AS sig FROM bh),
+         |bands AS (SELECT doc_id, band,
+         |    array_to_string(sig[band * 4 + 1 : band * 4 + 4], ',') AS key
+         |  FROM sig CROSS JOIN range(8) t(band)),
+         |capped AS (SELECT doc_id, band, key,
+         |    row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn FROM bands),
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM capped l JOIN capped r
+         |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+         |  WHERE l.rn <= 1000 AND r.rn <= 1000),
+         |v AS (SELECT doc_a, doc_b,
+         |    len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |      greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS j
+         |  FROM cand JOIN sg a ON a.doc_id = doc_a JOIN sg b ON b.doc_id = doc_b)
+         |SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM v
+         |WHERE j >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
+    // order-sensitive rolling fingerprint: same h60 chain, folded over a
+    // VARCHAR accumulator ('0' start = Spark's lit(0L) cast to string)
+    "doc_fingerprint" ->
+      s"""SELECT doc_id, CAST(list_reduce(list_prepend('0', $wordsSql),
+         |    (a, w) -> CAST(${h60Sql("a || '|' || w")} AS VARCHAR)) AS BIGINT) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // multimodal plumbing: kind/bytes from metadata; the stub feature is
+    // h60(payload || ':f0') scaled to [0,1) as FLOAT, quantized to integer
+    // micro-units BEFORE summing (order-independent aggregate)
+    "multimodal_features" ->
+      s"""WITH m AS (SELECT
+         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+         |    CAST(floor(CAST(CAST((${h60Sql("text || ':f0'")} % 1000003) / 1000003.0 AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT) AS f0q
+         |  FROM documents)
+         |SELECT kind, count(*) AS n, CAST(sum(nb) AS BIGINT) AS total_bytes,
+         |  CAST(sum(f0q) AS BIGINT) AS f0_micro_sum
+         |FROM m GROUP BY kind ORDER BY kind""".stripMargin
   )
 }

@@ -28,16 +28,21 @@ object DedupOps {
       .agg(count(lit(1)).as("n_docs"), min(id).as("keep_doc_id"))
 
   // MinHash universe: affine rehash family (a*h + b) mod P over a single
-  // per-shingle base hash. One xxhash64 per shingle total, then k cheap
-  // long multiply/mods — ~30× cheaper than k seeded string hashes, and
-  // overflow-free under ANSI mode (operands < 2^31, products < 2^62).
-  private val MersenneP = 2147483647L // 2^31 - 1
-  private def affineA(i: Int): Long = 1103515245L % MersenneP * (2 * i + 1) % MersenneP
-  private def affineB(i: Int): Long = (12345L + 2654435761L * i) % MersenneP
+  // per-shingle base hash. One portable 60-bit hash per DISTINCT shingle
+  // total, then k cheap long multiply/mods — ~30× cheaper than k seeded
+  // string hashes, and overflow-free under ANSI mode (operands < 2^31,
+  // products < 2^62). The affine constants are exposed so the DuckDB
+  // oracle SQL can inline the identical rehash family.
+  val MersenneP: Long = PortableHash.MersenneP
+  def affineA(i: Int): Long = 1103515245L % MersenneP * (2 * i + 1) % MersenneP
+  def affineB(i: Int): Long = (12345L + 2654435761L * i) % MersenneP
 
-  /** Per-shingle base hashes (one xxhash64 per shingle). */
+  /** Per-shingle base hashes — over DISTINCT shingles (duplicates cannot
+    * change any min, and repeated-shingle documents are common).
+    */
   def shingleBaseHashes(text: Column, n: Int = 3): Column =
-    transform(TextOps.shingles(text, n), s => pmod(xxhash64(s), lit(MersenneP)))
+    transform(array_distinct(TextOps.shingles(text, n)),
+      s => pmod(PortableHash.h60(s), lit(MersenneP)))
 
   /** MinHash signature over a precomputed base-hash array column. */
   def minhashSignatureFromHashes(baseHashes: Column, k: Int = 32): Column =
@@ -70,13 +75,36 @@ object DedupOps {
   /** Candidate near-duplicate pairs from LSH buckets, verified with exact
     * word-shingle Jaccard ≥ `threshold`. The verification join touches
     * only candidate ids — never all pairs.
+    *
+    * Skew guards (both essential at 100 TB, where duplicate-heavy crawls
+    * are exactly the input dedup exists for):
+    *  1. exact-duplicate collapse first: only one representative per
+    *     identical text enters LSH — thousands of byte-identical documents
+    *     (the common degenerate bucket) contribute ONE band row each
+    *     instead of m rows and m²/2 candidate pairs. At full scale, group
+    *     by `sha2(text, 256)` and re-join one exemplar; grouping by the
+    *     text itself is equivalent here and keeps the oracle SQL plain.
+    *  2. a per-bucket cap (`maxBucket`, deterministic by doc_id order): a
+    *     residual degenerate bucket produces at most maxBucket²/2 pairs on
+    *     one reducer instead of an unbounded quadratic blow-up. The cap is
+    *     a recall knob, not a correctness knob — capped pairs are
+    *     near-identical to a retained representative anyway.
     */
   def minhashNearDuplicates(docs: DataFrame, text: Column, id: Column,
                             n: Int = 3, k: Int = 32, bands: Int = 8,
-                            threshold: Double = 0.5): DataFrame = {
+                            threshold: Double = 0.5,
+                            maxBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val reps = docs.groupBy(text.as("text")).agg(min(id).as("doc_id"))
+
     // materialize band rows once: both sides of the self-join read the
     // cached copy instead of recomputing signatures
-    val b = lshBands(docs, text, id, n, k, bands).cache()
+    val b = lshBands(reps, col("text"), col("doc_id"), n, k, bands)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("band"), col("band_hash")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= maxBucket)
+      .drop("rn")
+      .cache()
     val pairs = b.as("l").join(b.as("r"),
         col("l.band") === col("r.band") &&
         col("l.band_hash") === col("r.band_hash") &&
@@ -84,8 +112,8 @@ object DedupOps {
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
 
-    val shingleSets = docs.select(id.as("doc_id"),
-      array_distinct(TextOps.shingles(text, n)).as("sh"))
+    val shingleSets = reps.select(col("doc_id"),
+      array_distinct(TextOps.shingles(col("text"), n)).as("sh"))
     pairs
       .join(shingleSets.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
       .join(shingleSets.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
@@ -96,28 +124,33 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash over the word multiset: bit b of the result is the
-    * sign of the sum over words of ±1 taken from bit b of xxhash64(word).
+  /** 60-bit SimHash over the word multiset: bit b of the result is the
+    * sign of the sum over words of ±1 taken from bit b of the portable
+    * 60-bit word hash. The per-word hash is computed ONCE (a `transform`
+    * over the word array), not once per bit; the bit-spread fold is pure
+    * long arithmetic. 60 bits (not 64) so the whole signature is exactly
+    * reproducible in any SQL engine with md5 + BIGINT — the hamming-space
+    * properties are unchanged.
     */
-  def simhash64(text: Column): Column = {
-    val w = TextOps.words(text)
+  def simhash60(text: Column): Column = {
+    val hs = transform(TextOps.words(text), w => PortableHash.h60(w))
     val sums = aggregate(
-      w,
-      transform(sequence(lit(0), lit(63)), _ => lit(0L)),
-      (acc, word) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          b => when(call_function("shiftright", xxhash64(word), b).bitwiseAND(1) === 1, 1L)
+      hs,
+      transform(sequence(lit(0), lit(59)), _ => lit(0L)),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(59)),
+          b => when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1L)
             .otherwise(-1L)),
         (a, v) => a + v))
     aggregate(
-      zip_with(sums, sequence(lit(0), lit(63)),
+      zip_with(sums, sequence(lit(0), lit(59)),
         (s, b) => when(s > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
       lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
-  /** SimHash near-dup candidates: same top-48-bit prefix bucket. */
+  /** SimHash near-dup candidates: same top-44-bit prefix bucket. */
   def simhashBuckets(docs: DataFrame, text: Column, id: Column): DataFrame =
-    docs.select(id.as("doc_id"), simhash64(text).as("simhash"))
+    docs.select(id.as("doc_id"), simhash60(text).as("simhash"))
       .withColumn("bucket", shiftright(col("simhash"), 16))
 
   /** Exact word-set Jaccard between each doc and its successor — a linear

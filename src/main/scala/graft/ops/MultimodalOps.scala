@@ -57,16 +57,17 @@ object MultimodalOps {
 
   /** STUB decode: a real implementation would decode the payload
     * (image decode / audio resample / video frame-sample) and run a
-    * feature extractor. This deterministic fake derives 8 floats from a
-    * rolling hash of the payload bytes so tests have stable expectations.
+    * feature extractor. This deterministic fake derives 8 floats from
+    * salted portable hashes of the payload bytes ([[PortableHash.h60]]),
+    * so tests have stable expectations AND the DuckDB oracle can verify
+    * the exact feature values end-to-end through the batch plumbing.
     */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
-    var h = 1469598103934665603L // FNV offset basis
     val out = new Array[Float](8)
     var i = 0
-    while (i < payload.length) {
-      h = (h ^ (payload(i) & 0xffL)) * 1099511628211L
-      out(i % 8) += ((h % 1000003L).toFloat / 1000003.0f)
+    while (i < 8) {
+      val salted = payload ++ s":f$i".getBytes("UTF-8")
+      out(i) = ((PortableHash.h60(salted) % 1000003L).toDouble / 1000003.0).toFloat
       i += 1
     }
     out
@@ -84,10 +85,17 @@ object MultimodalOps {
     }
   }
 
-  /** Queryable summary: per media kind, byte + feature stats. */
+  /** Queryable summary: per media kind — row count, total payload bytes,
+    * and the quantized sum of the first stub feature. The feature is
+    * quantized to an integer (floor of f0·10^6) BEFORE summing so the
+    * aggregate is order-independent and exactly reproducible in the
+    * oracle (floating-point sums are partition-order dependent).
+    */
   def featureSummary(features: Dataset[MediaFeatures]): DataFrame =
     features.toDF()
-      .select(col("kind"), col("nBytes"), element_at(col("features"), 1).as("f0"))
+      .select(col("kind"), col("nBytes"),
+        floor(element_at(col("features"), 1).cast("double") * 1000000.0).cast("long").as("f0q"))
       .groupBy(col("kind"))
-      .agg(count(lit(1)).as("n"), sum(col("nBytes")).as("total_bytes"))
+      .agg(count(lit(1)).as("n"), sum(col("nBytes")).as("total_bytes"),
+        sum(col("f0q")).as("f0_micro_sum"))
 }

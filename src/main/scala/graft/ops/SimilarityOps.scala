@@ -40,11 +40,31 @@ object SimilarityOps {
       .limit(k)
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a fixed hash mapped to [-1, 1). No RNG state → task-retry safe.
+    * a fixed portable hash mapped to [-1, 1). No RNG state → task-retry
+    * safe; portable ([[PortableHash.h60]]) → the DuckDB oracle reproduces
+    * the exact bucket codes.
     */
   private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(concat(lit(s"plane$plane:"), dim.cast("string"))), lit(2000001L))
+    (pmod(PortableHash.h60(concat(lit(s"plane$plane:"), dim.cast("string"))), lit(2000001L))
       .cast("double") / 1000000.0) - lit(1.0)
+
+  /** DuckDB SQL fragment mirroring [[planeComponent]]; `dimExpr` is a
+    * 0-based dimension-index expression.
+    */
+  def planeComponentSql(plane: Int, dimExpr: String): String =
+    s"((${PortableHash.sqlH60(s"'plane$plane:' || CAST($dimExpr AS VARCHAR)")} % 2000001) / 1000000.0 - 1.0)"
+
+  /** DuckDB SQL fragment mirroring [[srpCode]] over a FLOAT[] column.
+    * The dot product folds left-to-right in double precision, exactly as
+    * Spark's `aggregate` does, so the sign (and thus the bucket) is
+    * bit-identical. DuckDB lambda indexes are 1-based, hence `i - 1`.
+    */
+  def srpCodeSql(embExpr: String, planes: Int): String =
+    (0 until planes).map { p =>
+      val dot = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform($embExpr, (x, i) -> CAST(x AS DOUBLE) * ${planeComponentSql(p, "i - 1")})), (a, b) -> a + b)"
+      s"(CASE WHEN $dot >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
   /** Sign-random-projection bucket code over `planes` hyperplanes. */
   def srpCode(emb: Column, planes: Int): Column = {
@@ -76,22 +96,56 @@ object SimilarityOps {
     }
     val queryBucket = queryBits.reduce(_ | _)
     coded.filter(col("bucket") === queryBucket)
-      .select(col("vec_id"), round(cosineToQuery(col("emb"), query), 4).as("cosine"),
-        col("bucket"))
+      .select(col("vec_id"), round(cosineToQuery(col("emb"), query), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
 
-  /** Driver-side mirror of planeComponent — same xxhash64 (Spark's
-    * XxHash64 with seed 42) over the same UTF-8 string.
+  /** Driver-side mirror of planeComponent — same portable 60-bit md5
+    * prefix hash over the same UTF-8 string.
     */
   private def planeComponentValue(plane: Int, dim: Int): Double = {
-    val bytes = s"plane$plane:$dim".getBytes("UTF-8")
-    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-      bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
-    val mod = 2000001L
-    val r = h % mod
-    val pm = if (r < 0) r + mod else r
+    val pm = PortableHash.h60(s"plane$plane:$dim") % 2000001L
     pm.toDouble / 1000000.0 - 1.0
+  }
+
+  /** Embedding-cosine near-duplicate pairs: SRP-bucketed candidates (an
+    * equi-join on the bucket code — never all pairs), verified with exact
+    * cosine ≥ `threshold` inside the bucket. Vectors with negligible norm
+    * are excluded up front (cosine is undefined there, and a zero-vector
+    * flood would all land in one bucket). Like MinHash-LSH, single-probe
+    * bucketing trades recall for linearity: pairs split by a hyperplane are
+    * missed; lower `planes` (or multi-probe) to raise recall.
+    */
+  def embeddingNearDuplicates(vectors: DataFrame, emb: Column, id: Column,
+                              threshold: Double, planes: Int = 4,
+                              maxBucket: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val embD = transform(emb, x => x.cast("double"))
+    val norm = sqrt(aggregate(transform(embD, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val coded = vectors
+      .filter(norm > 1e-9)
+      .select(id.as("vec_id"), emb.as("emb"), srpCode(emb, planes).as("bucket"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("vec_id"))))
+      .filter(col("rn") <= maxBucket)
+      .drop("rn")
+    coded.as("l").join(coded.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+        round(cosineBetween(col("l.emb"), col("r.emb")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Cosine between two embedding columns (double precision, left-to-right
+    * sums — the same fold order any SQL oracle uses).
+    */
+  def cosineBetween(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), (acc, x) => acc + x))
+    dot / (na * nb)
   }
 }

@@ -79,13 +79,13 @@ object TextOps {
 
   /** Rolling hash-chain fingerprint over the word sequence (order
     * sensitive, like a Karp-Rabin fingerprint but overflow-free under
-    * ANSI mode: each step rehashes the accumulator with the next word).
-    * Deterministic across runs/partitions; not SQL-portable (xxhash64),
-    * so rows-only verified.
+    * ANSI mode: each step rehashes the accumulator chained with the next
+    * word). Built on [[PortableHash.h60]] so the DuckDB oracle verifies the
+    * exact 60-bit value (`list_reduce` over the same fold).
     */
   def fingerprint(text: Column): Column =
     aggregate(words(text), lit(0L),
-      (acc, w) => xxhash64(concat(acc.cast("string"), lit("|"), w)))
+      (acc, w) => PortableHash.h60(concat(acc.cast("string"), lit("|"), w)))
 
   /** Word n-gram shingles as space-joined strings (n ≥ 1). */
   def shingles(text: Column, n: Int): Column = {

@@ -53,6 +53,12 @@ object Rdf {
     val graphs: mutable.LinkedHashMap[String, mutable.ArrayBuffer[Quad]] =
       mutable.LinkedHashMap("@default" -> mutable.ArrayBuffer.empty[Quad])
 
+    /** Quads rejected by well-formedness validation during toRDF — counted
+      * so data loss is observable (pipelines surface it as a metric rather
+      * than dropping triples silently).
+      */
+    var droppedQuads: Long = 0L
+
     def addQuads(graphName: String, quads: Iterable[Quad]): Unit =
       graphs.getOrElseUpdate(graphName, mutable.ArrayBuffer.empty) ++= quads
 
@@ -141,7 +147,9 @@ object Rdf {
     */
   def validIri(v: String): Boolean = {
     if (!(v.startsWith("http://") || v.startsWith("https://"))) return true
-    if (v.length < 10 || v.length >= 2083) return false
+    // no upper length cap: 2083 is a legacy browser URL limit, not IRI
+    // well-formedness — long IRIs are valid and must not lose triples
+    if (v.length < 10) return false
     try {
       val u = new java.net.URI(v.replace(" ", "%20"))
       val host = u.getHost
@@ -174,6 +182,22 @@ object Rdf {
       s"\\s*(?:(?:$IriPat|$BnodePat)\\s*)?\\.\\s*(?:#.*)?$$").r
   private val emptyRe = "^\\s*(#.*)?$".r
 
+  /** Parse `len` hex digits at `from`, raising a JSON-LD syntax error (not
+    * an index/number crash) on truncated or non-hex escapes.
+    */
+  private def hexEscape(s: String, from: Int, len: Int): Int = {
+    if (from + len > s.length)
+      throw JsonLdError(JsonLdError.SyntaxError, s"truncated \\u escape in N-Quads literal: $s")
+    val cp =
+      try Integer.parseInt(s.substring(from, from + len), 16)
+      catch { case _: NumberFormatException =>
+        throw JsonLdError(JsonLdError.SyntaxError, s"invalid hex in \\u escape: ${s.substring(from, from + len)}")
+      }
+    if (len == 8 && !Character.isValidCodePoint(cp))
+      throw JsonLdError(JsonLdError.SyntaxError, s"invalid code point in \\U escape: $cp")
+    cp
+  }
+
   def unescape(s: String): String = {
     if (!s.contains('\\')) return s
     val sb = new StringBuilder(s.length)
@@ -191,11 +215,9 @@ object Rdf {
           case '\'' => sb.append('\''); i += 2
           case '\\' => sb.append('\\'); i += 2
           case 'u' =>
-            val cp = Integer.parseInt(s.substring(i + 2, i + 6), 16)
-            sb.append(cp.toChar); i += 6
+            sb.append(hexEscape(s, i + 2, 4).toChar); i += 6
           case 'U' =>
-            val cp = Integer.parseInt(s.substring(i + 2, i + 10), 16)
-            sb.appendAll(Character.toChars(cp)); i += 10
+            sb.appendAll(Character.toChars(hexEscape(s, i + 2, 8))); i += 10
           case other => sb.append(other); i += 2
         }
       } else { sb.append(c); i += 1 }

@@ -67,7 +67,9 @@ object ToRdf {
         }
       }
     }
-    ds.addQuads(graphName, triples.filter(quadValid))
+    val kept = triples.filter(quadValid)
+    ds.droppedQuads += (triples.length - kept.length)
+    ds.addQuads(graphName, kept)
   }
 
   /** Value/node object → RDF node; lists emit rdf:first/rest/nil cons chains

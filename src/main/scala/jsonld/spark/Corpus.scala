@@ -84,9 +84,19 @@ object Corpus {
     * work including multi-blank-node URDNA2015 (distinct first-degree
     * hashes, so no factorial paths).
     */
-  def corpusHeavy(spark: SparkSession, sfDir: String): Dataset[RepoFile] = {
+  def corpusHeavy(spark: SparkSession, sfDir: String): Dataset[RepoFile] =
+    corpusHeavyFrom(spark, documents(spark, sfDir))
+
+  /** corpusHeavy over an arbitrary documents frame — lets the bench
+    * replicate the documents table (with renumbered doc_ids) BEFORE corpus
+    * synthesis, so every replica is a fully distinct document and corpus
+    * dedup keeps all quads (a real 10^12-file corpus is not 20 copies of
+    * one file). Every emitted quad embeds doc_id in its subject or its
+    * object, so the global quad set size equals the per-doc sum.
+    */
+  def corpusHeavyFrom(spark: SparkSession, docs: DataFrame): Dataset[RepoFile] = {
     import spark.implicits._
-    documents(spark, sfDir).select(
+    docs.select(
       concat(lit("org"), (col("doc_id") % 100).cast("string")).as("repo"),
       concat(lit("heavy/doc"), col("doc_id"), lit(".jsonld")).as("path"),
       sha2(concat(lit("commit:"), col("doc_id")), 256).as("commit"),
@@ -103,8 +113,13 @@ object Corpus {
           i => concat(lit("tag"), pmod(col("doc_id") + i, lit(50)))).as("tags"),
         transform(sequence(lit(0), lit(7)), i => struct(
           concat(lit("section-"), col("doc_id"), lit("-"), i).as("name"),
-          (pmod(col("doc_id"), lit(1000)) * 8 + i).as("value"),
-          concat(lit("body "), substring(col("text"), (i * 16 + 1).cast("int"), lit(64))).as("body")
+          // globally unique value/body: blank-node subjects carry per-doc
+          // canonical labels (_:c14nX) that repeat across documents, so any
+          // (label, pred, obj) collision would conflate under corpus-level
+          // quad dedup and skew the bench's written-quad count
+          (col("doc_id") * 8 + i).as("value"),
+          concat(lit("body "), col("doc_id"), lit(" "),
+            substring(col("text"), (i * 16 + 1).cast("int"), lit(64))).as("body")
         )).as("sections")
       )).as("content")
     ).as[RepoFile]

@@ -1,7 +1,7 @@
 package jsonld.spark
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Stage checkpointing + resume.
   *
@@ -11,6 +11,11 @@ import java.nio.file.{Files, Paths}
   * is a whole stage — deterministic stage naming makes the DAG resumable
   * after driver loss (north rule: "resumable from checkpointed stage
   * outputs").
+  *
+  * Markers go through the Hadoop FileSystem API resolved from the stage
+  * path itself, so resume works identically on local disk, HDFS, and
+  * object stores (s3a://, gs://) — `java.nio.file` would silently treat
+  * every remote path as absent and re-run the whole DAG.
   *
   * Table format: Parquet with the same partition layout Iceberg would use.
   * No Iceberg runtime jar exists in this sandbox (verified: /opt/spark/jars
@@ -25,11 +30,21 @@ object CorpusIO {
     try { Class.forName("org.apache.iceberg.spark.source.IcebergSource"); true }
     catch { case _: Throwable => false }
 
-  def stageDone(dir: String): Boolean = Files.exists(Paths.get(dir, DoneMarker))
+  private def fs(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
 
-  def markDone(dir: String): Unit = {
-    Files.createDirectories(Paths.get(dir))
-    Files.write(Paths.get(dir, DoneMarker), Array.empty[Byte])
+  def stageDone(spark: SparkSession, dir: String): Boolean = {
+    val (f, p) = fs(spark, dir)
+    f.exists(new Path(p, DoneMarker))
+  }
+
+  def markDone(spark: SparkSession, dir: String): Unit = {
+    val (f, p) = fs(spark, dir)
+    f.mkdirs(p)
+    val out = f.create(new Path(p, DoneMarker), true)
+    out.close()
   }
 
   /** Run `compute` unless `dir` already holds this stage's output; either
@@ -37,9 +52,9 @@ object CorpusIO {
     * downstream stages cut lineage at the checkpoint.
     */
   def stage(spark: SparkSession, dir: String)(compute: => DataFrame): DataFrame = {
-    if (!stageDone(dir)) {
+    if (!stageDone(spark, dir)) {
       compute.write.mode("overwrite").parquet(dir)
-      markDone(dir)
+      markDone(spark, dir)
     }
     spark.read.parquet(dir)
   }

@@ -65,6 +65,12 @@ object Pipeline extends Serializable {
 
   /** Stage 1: detection. Cheap column-level pre-filter first (pushable /
     * codegen'd), then the per-file extractor.
+    *
+    * `filesIn` counts files entering the JVM-side extractor, i.e. AFTER
+    * the pushed-down pre-filter — counting raw scanned rows would require
+    * piercing predicate pushdown with a per-row accumulator map, defeating
+    * the pruning the stage exists for. Scanned-row totals belong to the
+    * storage layer (parquet footer counts), not this metric.
     */
   def detectStage(corpus: Dataset[RepoFile], counters: Counters): Dataset[DetectedDoc] = {
     import corpus.sparkSession.implicits._
@@ -195,9 +201,9 @@ object Pipeline extends Serializable {
     val quadsDf = CorpusIO.stage(spark, s"$workDir/stage3_quads") {
       dedupQuads(quads(pipe))
     }
-    if (!CorpusIO.stageDone(s"$workDir/graph")) {
+    if (!CorpusIO.stageDone(spark, s"$workDir/graph")) {
       writePartitioned(quadsDf, s"$workDir/graph", buckets)
-      CorpusIO.markDone(s"$workDir/graph")
+      CorpusIO.markDone(spark, s"$workDir/graph")
     }
     quadsDf
   }

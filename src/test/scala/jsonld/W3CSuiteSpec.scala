@@ -344,17 +344,14 @@ class W3CSuiteSpec extends AnyFunSuite {
     val expB = expLines.flatMap(bnodeRe.findAllIn(_)).distinct
     val actB = actLines.flatMap(bnodeRe.findAllIn(_)).distinct
     if (expB.size != actB.size || expB.size > 6) return false
+    // boundary-safe label substitution: "_:b1" must not corrupt "_:b10"
+    def subst(line: String, m: Map[String, String]): String =
+      bnodeRe.replaceAllIn(line, mm =>
+        scala.util.matching.Regex.quoteReplacement(m.getOrElse(mm.matched, mm.matched)))
     actB.permutations.exists { perm =>
-      val mapping = actB.zip(perm.indices.map(i => s"__B${i}__")).toMap
-      val finalMap = perm.zipWithIndex.map { case (a, i) => s"__B${i}__" -> expB(i) }.toMap
-      // two-step rename to avoid collisions
-      val renamed = actLines.map { l =>
-        var x = l
-        mapping.foreach { case (from, to) => x = x.replace(from, to) }
-        finalMap.foreach { case (from, to) => x = x.replace(from, to) }
-        x
-      }.sorted
-      renamed == expLines
+      // try the bijection actual-label perm(i) -> expected-label expB(i)
+      val m = perm.zip(expB).toMap
+      actLines.map(subst(_, m)).sorted == expLines
     }
   }
 

@@ -36,7 +36,7 @@ class ResumableSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n1 = first.count()
     assert(n1 == 60) // two quads per doc
     Seq("stage1_detected", "stage2_transformed", "stage3_quads", "quarantine", "lineage", "graph")
-      .foreach { s => assert(CorpusIO.stageDone(s"$work/$s"), s"missing marker for $s") }
+      .foreach { s => assert(CorpusIO.stageDone(spark, s"$work/$s"), s"missing marker for $s") }
 
     // resume with an EMPTY corpus: if stages were recomputed the result
     // would be empty; the checkpointed outputs must win
