@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Training-data operator semantics + the portable-hash contract that the
+  * DuckDB oracles rely on (JVM mirror == Spark column value), plus
+  * plan-shape assertions for the ops family (candidate generation must be
+  * an equi-join, never a cartesian product).
+  */
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("PortableHash: JVM mirror equals the Spark column for varied inputs") {
+    val sp = spark; import sp.implicits._
+    val inputs = Seq("", "hello", "plane0:17", "päö δ 漢字", "a|b|c", "0|the")
+    val sparkVals = inputs.toDF("s").select(PortableHash.h60(col("s")))
+      .collect().map(_.getLong(0))
+    val jvmVals = inputs.map(PortableHash.h60)
+    assert(sparkVals.toSeq == jvmVals)
+    assert(jvmVals.forall(v => v >= 0 && v < (1L << 60)))
+  }
+
+  test("fingerprint is order-sensitive and matches a JVM fold of the chain") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(("one two three", 1L), ("three two one", 2L), ("", 3L))
+      .toDF("text", "doc_id")
+    val got = df.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def chain(words: Seq[String]): Long =
+      words.foldLeft(0L)((acc, w) => PortableHash.h60(s"$acc|$w"))
+    assert(got(1L) == chain(Seq("one", "two", "three")))
+    assert(got(2L) == chain(Seq("three", "two", "one")))
+    assert(got(1L) != got(2L), "order-insensitive fingerprint")
+    assert(got(3L) == 0L, "empty doc fingerprint must be the fold seed")
+  }
+
+  test("simhash60: identical texts agree; near texts are hamming-close; bits fit in 60") {
+    val sp = spark; import sp.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow")
+    val far = "completamente diferente conjunto de palabras sin relación alguna aquí"
+    val rows = Seq((1L, base), (2L, base), (3L, near), (4L, far)).toDF("doc_id", "text")
+    val hs = DedupOps.simhashBuckets(rows, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hs(1L) == hs(2L))
+    assert(hs.values.forall(v => v >= 0 && v < (1L << 60)))
+    assert(hamming(hs(1L), hs(3L)) < hamming(hs(1L), hs(4L)),
+      s"near doc not closer: near=${hamming(hs(1L), hs(3L))} far=${hamming(hs(1L), hs(4L))}")
+  }
+
+  test("minhashNearDuplicates finds planted near-dups, collapses exact dups, respects the cap") {
+    val sp = spark; import sp.implicits._
+    // NB the tokenizer is lower → split [^a-z]+, so words must differ in
+    // LETTERS; doc 3 differs from doc 1 only in case/punctuation → shingle
+    // Jaccard exactly 1 → every band collides (deterministic detection)
+    val ws = (0 until 30).map(i => s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}word")
+    val body = ws.mkString(" ")
+    val nearBody = ws.map(_.toUpperCase).mkString(", ") + "!!!"
+    val docs = Seq(
+      (1L, body), (2L, body),          // exact dups → collapse to doc 1
+      (3L, nearBody),                  // near-dup of 1 (tokenizes identically)
+      (4L, (0 until 30).map(i => s"zz${('a' + i % 26).toChar}other").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.minhashNearDuplicates(docs, col("text"), col("doc_id"),
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 3L)), s"planted near-dup not found: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      "exact duplicate doc 2 must be collapsed before LSH")
+    // cap = 1 → one row per bucket → no pairs can form
+    val capped = DedupOps.minhashNearDuplicates(docs, col("text"), col("doc_id"),
+      threshold = 0.5, maxBucket = 1)
+    assert(capped.count() == 0)
+  }
+
+  test("embeddingNearDuplicates: no false positives vs brute force; cosines correct") {
+    val sp = spark; import sp.implicits._
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.99f, 0.1f, 0f, 0f)),  // near-dup of 1
+      (3L, Array(0f, 1f, 0f, 0f)),
+      (4L, Array(0f, 0f, 0f, 0f))        // zero vector → excluded
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.embeddingNearDuplicates(
+        vecs, col("embedding"), col("vec_id"), threshold = 0.9, planes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // whatever the buckets did, every reported pair must truly be >= 0.9
+    assert(got.forall(_._3 >= 0.9))
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L), "zero vector must be excluded")
+    // (1,2) cosine ≈ 0.995 — same orthant for any hyperplane set, so SRP
+    // with few planes must keep them together
+    assert(got.map(p => (p._1, p._2)).contains((1L, 2L)), s"missed near-dup: ${got.toSeq}")
+  }
+
+  test("multimodal decode stub is the portable hash contract end-to-end") {
+    val sp = spark; import sp.implicits._
+    val payload = "some media bytes".getBytes("UTF-8")
+    val f = MultimodalOps.decodeStub(payload)
+    assert(f.length == 8)
+    val expected0 =
+      ((PortableHash.h60(payload ++ ":f0".getBytes("UTF-8")) % 1000003L).toDouble / 1000003.0).toFloat
+    assert(f(0) == expected0)
+    // featureSummary quantization: floor(f0 * 1e6) summed as long
+    val media = spark.createDataset(Seq(
+      MultimodalOps.MediaRow(1L, "image", "application/octet-stream", payload, 64, 64, -1L)))
+    val sum = MultimodalOps.featureSummary(MultimodalOps.extractFeatures(media)).collect()(0)
+    assert(sum.getAs[Long]("f0_micro_sum") == math.floor(expected0.toDouble * 1e6).toLong)
+    assert(sum.getAs[Long]("total_bytes") == payload.length.toLong)
+  }
+
+  test("LSH candidate generation plans an equi-join, never a cartesian product") {
+    val sp = spark; import sp.implicits._
+    val docs = (1 to 40).map(i => (i.toLong, s"doc number $i " + (1 to 10).map(j => s"w${i % 7}$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val p = DedupOps.minhashNearDuplicates(docs, col("text"), col("doc_id"), threshold = 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH degenerated to all-pairs:\n$p")
+    val p2 = SimilarityOps.embeddingNearDuplicates(
+        Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding"),
+        col("embedding"), col("vec_id"), threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"),
+      s"embedding near-dup degenerated to all-pairs:\n$p2")
+  }
+}

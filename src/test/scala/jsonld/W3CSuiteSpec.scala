@@ -153,6 +153,45 @@ class W3CSuiteSpec extends AnyFunSuite {
   private case class Summary(manifest: String, pass: Int, fail: Int, skip: Int,
                              failures: Seq[String])
 
+  /** EARL assertion log — mirrors the reference's conformance_report.jsonld
+    * artifact (/root/reference/conformance_report.jsonld): one
+    * earl:Assertion per attempted suite test, written to
+    * target/earl/conformance_report.jsonld when the last manifest finishes.
+    */
+  private object EarlLog {
+    val entries = mutable.ArrayBuffer.empty[(String, String)] // (testIri, outcome)
+    def add(baseIri: String, manifestRel: String, testId: String, outcome: String): Unit =
+      entries.synchronized {
+        val iri =
+          if (baseIri.nonEmpty) baseIri + manifestRel.stripSuffix(".jsonld") + testId
+          else manifestRel.stripSuffix(".jsonld").replaceAll(".*/", "") + "/" + testId
+        entries += ((iri, outcome))
+      }
+    def write(): Unit = entries.synchronized {
+      val subject = "https://github.com/graft/jsongoldspark"
+      val assertions = entries.map { case (iri, outcome) =>
+        s"""    {"@type": "earl:Assertion", "earl:assertedBy": "$subject", "earl:mode": {"@id": "earl:automatic"}, "earl:subject": "$subject", "earl:test": "$iri", "earl:result": {"@type": "earl:TestResult", "earl:outcome": {"@id": "earl:$outcome"}}}"""
+      }.mkString(",\n")
+      val doc =
+        s"""{
+           |  "@context": {
+           |    "earl": "http://www.w3.org/ns/earl#",
+           |    "doap": "http://usefulinc.com/ns/doap#"
+           |  },
+           |  "@id": "$subject",
+           |  "@type": ["doap:Project", "earl:TestSubject", "earl:Software"],
+           |  "doap:name": "jsongoldspark",
+           |  "doap:programming-language": "Scala",
+           |  "@graph": [
+           |$assertions
+           |  ]
+           |}""".stripMargin
+      val out = Paths.get("target/earl")
+      Files.createDirectories(out)
+      Files.write(out.resolve("conformance_report.jsonld"), doc.getBytes("UTF-8"))
+    }
+  }
+
   private def runManifest(manifestRel: String): Summary = {
     val manifestPath = testDir.resolve(manifestRel)
     val manifest = Json.parse(read(manifestPath)).asInstanceOf[JObj]
@@ -197,7 +236,10 @@ class W3CSuiteSpec extends AnyFunSuite {
       val shouldSkip = (skipPrefixes.exists(testId.startsWith) && !attemptSkipped) ||
         purpose.contains("RFC3986") || specVersion10
 
-      if (shouldSkip) skip += 1
+      if (shouldSkip) {
+        skip += 1
+        EarlLog.add(baseIri, manifestRel, testId, "untested")
+      }
       else {
         val inputUrl0 = baseIri + inputName
         val effectiveLoader =
@@ -285,8 +327,10 @@ class W3CSuiteSpec extends AnyFunSuite {
           case e: Exception => opError = JsonLdError("crash: " + e, testId)
         }
 
-        if (unimplemented) skip += 1
-        else {
+        if (unimplemented) {
+          skip += 1
+          EarlLog.add(baseIri, manifestRel, testId, "untested")
+        } else {
           val ok: Boolean = evalType match {
             case "jld:PositiveEvaluationTest" =>
               if (opError != null) { failures += s"$testId: unexpected error ${opError.getMessage}"; false }
@@ -319,6 +363,7 @@ class W3CSuiteSpec extends AnyFunSuite {
             case _ => true
           }
           if (ok) pass += 1 else fail += 1
+          EarlLog.add(baseIri, manifestRel, testId, if (ok) "passed" else "failed")
         }
       }
     }
@@ -383,5 +428,16 @@ class W3CSuiteSpec extends AnyFunSuite {
       assert(rate >= min, f"pass rate $rate%.3f below threshold $min for $m; " +
         s"first failures: ${s.failures.take(10).mkString("; ")}")
     }
+  }
+
+  // registered last → runs after every manifest (funsuite preserves order)
+  test("EARL conformance report artifact") {
+    EarlLog.write()
+    val report = Paths.get("target/earl/conformance_report.jsonld")
+    assert(Files.exists(report), "conformance report not written")
+    val doc = Json.parse(read(report)).asInstanceOf[JObj] // must parse as JSON-LD input
+    val assertions = doc("@graph").asInstanceOf[JArr]
+    info(s"EARL assertions: ${assertions.size} (${EarlLog.entries.count(_._2 == "passed")} passed)")
+    assert(assertions.size > 1400, s"expected full-suite coverage, got ${assertions.size}")
   }
 }

@@ -1,0 +1,87 @@
+package jsonld.spark
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.{SparkSession, Encoders}
+import jsonld.core._
+import java.nio.file.Files
+
+/** The driver pre-pass: distributed remote-context harvest → driver-side
+  * closure resolution → broadcast cache that the transform stage then
+  * expands against with zero executor I/O.
+  */
+class ContextResolverSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def doc(id: Int, ctx: String): DetectedDoc =
+    DetectedDoc(s"d$id", "org", s"f$id.jsonld", "c0", 0, "",
+      s"""{"@context": $ctx, "@id": "http://ex.org/$id", "name": "x$id"}""", "sha")
+
+  test("harvest → closure → broadcast → expand, with dead URLs quarantined not thrown") {
+    val ctxA = "http://ctx.example/a.jsonld"   // imports b
+    val ctxB = "http://ctx.example/b.jsonld"
+    val dead = "http://ctx.example/missing.jsonld"
+
+    val docs = spark.createDataset(Seq(
+      doc(1, s""""$ctxA""""),
+      doc(2, s"""["$ctxB", {"name": "http://ex.org/name"}]"""),
+      doc(3, s""""$dead""""),
+      doc(4, """{"name": "http://ex.org/inline"}""")   // inline only — no URL
+    ))(Encoders.product[DetectedDoc])
+
+    val urls = ContextResolver.collectContextUrls(docs).collect().toSet
+    assert(urls == Set(ctxA, ctxB, dead))
+
+    // fixture context files on disk; a.jsonld chains to b.jsonld
+    val dir = Files.createTempDirectory("ctx")
+    Files.writeString(dir.resolve("a.jsonld"),
+      s"""{"@context": ["$ctxB", {"name": "http://ex.org/nameA"}]}""")
+    Files.writeString(dir.resolve("b.jsonld"),
+      """{"@context": {"name": "http://ex.org/nameB"}}""")
+    val loader = new FileDocumentLoader(url =>
+      if (url == ctxA) Some(dir.resolve("a.jsonld").toString)
+      else if (url == ctxB) Some(dir.resolve("b.jsonld").toString)
+      else None)
+
+    val (cache, failed) = ContextResolver.buildCache(spark, docs, loader)
+    assert(cache.value.keySet == Set(ctxA, ctxB), "closure must include chained ctxB")
+    assert(failed.keySet == Set(dead))
+
+    // the broadcast cache feeds the normal pipeline: docs 1/2/4 expand,
+    // doc 3 (dead context) lands in quarantine with the spec error code
+    val counters = Pipeline.newCounters(spark)
+    val pipe = Pipeline.transformStage(docs, cache, counters)
+    val quads = Pipeline.quads(pipe).collect()
+    assert(quads.exists(q => q.docId == "d1" && q.pred == "http://ex.org/nameA"))
+    assert(quads.exists(q => q.docId == "d2" && q.pred == "http://ex.org/name"))
+    val errs = Pipeline.quarantine(pipe).collect()
+    assert(errs.map(_.docId).toSeq == Seq("d3"))
+    assert(errs(0).errorCode == JsonLdError.LoadingRemoteContextFailed ||
+      errs(0).errorCode == JsonLdError.LoadingDocumentFailed, errs(0).errorCode)
+  }
+
+  test("resolveClosure bounds adversarial context chains") {
+    // every fetch returns a context pointing at a fresh URL — must stop at maxDocs
+    val loader = new DocumentLoader {
+      def loadDocument(url: String): RemoteDocument = {
+        val n = url.stripPrefix("http://chain.example/").toInt
+        RemoteDocument(url, Json.parse(s"""{"@context": "http://chain.example/${n + 1}"}"""))
+      }
+    }
+    val (resolved, _) = ContextResolver.resolveClosure(
+      Seq("http://chain.example/0"), loader, maxDocs = 25)
+    assert(resolved.size == 25)
+  }
+}
