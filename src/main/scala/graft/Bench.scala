@@ -60,8 +60,7 @@ object Bench {
     val t0 = System.nanoTime()
     val docs = Pipeline.detectStage(corpus, counters)
     val pipe = Pipeline.transformStage(docs, ctxCache, counters)
-    val quads = Pipeline.dedupQuads(Pipeline.quads(pipe))
-    Pipeline.writePartitioned(quads, s"$outDir/quads", buckets = 32)
+    Pipeline.dedupAndWritePartitioned(Pipeline.quads(pipe), s"$outDir/quads", buckets = 32)
     val secs = (System.nanoTime() - t0) / 1e9
     // numerator from the materialized table, not the accumulator: task
     // retries/speculation over-count accumulators in transformations (the

@@ -1,14 +1,16 @@
 package graft
 
-import org.apache.spark.sql.functions._
 import jsonld.spark._
 
-/** Ad-hoc stage timing to locate serial bottlenecks in the bench pipeline. */
+/** Ad-hoc stage timing to locate serial bottlenecks in the bench pipeline —
+  * replicates Bench.pipelineThroughput exactly, but materializes each stage
+  * separately so the wall time per stage is visible.
+  */
 object DebugStages {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val cpus = if (args.length > 1) args(1) else "32"
-    val replication = if (args.length > 2) args(2).toInt else 40
+    val replication = if (args.length > 2) args(2).toInt else 20
     val spark = Bench.newSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -20,26 +22,21 @@ object DebugStages {
       r
     }
 
-    val flat = Corpus.corpusFlat(spark, sfDir).toDF()
-    val authored = Corpus.corpusWithAuthors(spark, sfDir).toDF()
-    val corpus = flat.union(authored)
-      .crossJoin(spark.range(replication).withColumnRenamed("id", "rep"))
-      .withColumn("path", concat(col("path"), lit("#r"), col("rep")))
-      .withColumn("repo", concat(col("repo"), lit("-"), col("rep")))
-      .drop("rep")
-      .repartition(spark.sparkContext.defaultParallelism * 2)
-      .as[RepoFile]
-
+    val outDir = java.nio.file.Files.createTempDirectory("graft-dbg").toString
+    timed("materialize-corpus")(
+      Bench.materializeCorpus(spark, sfDir, replication, s"$outDir/corpus"))
+    val corpus = spark.read.parquet(s"$outDir/corpus").as[RepoFile]
     timed("corpus-count")(println("rows=" + corpus.count()))
+
     val counters = Pipeline.newCounters(spark)
     val ctxCache = spark.sparkContext.broadcast(Map.empty[String, String])
     val docs = Pipeline.detectStage(corpus, counters)
     val pipe = Pipeline.transformStage(docs, ctxCache, counters)
-    timed("detect+transform-count")(println("quads=" + pipe.count()))
+    timed("detect+transform-count")(println("quads=" + pipe.filter(_.ok).count()))
     val deduped = Pipeline.dedupQuads(Pipeline.quads(pipe))
-    timed("dedup-count")(println("distinct=" + deduped.count()))
-    val out = java.nio.file.Files.createTempDirectory("dbg").toString
-    timed("write")(Pipeline.writePartitioned(deduped, s"$out/q", 32))
+    timed("transform+dedup-count")(println("distinct=" + deduped.count()))
+    timed("full-with-write")(Pipeline.writePartitioned(deduped, s"$outDir/q", 32))
+    timed("written-count")(println("written=" + spark.read.parquet(s"$outDir/q").count()))
     spark.stop()
   }
 }

@@ -38,11 +38,11 @@ object DedupOps {
   def affineB(i: Int): Long = (12345L + 2654435761L * i) % MersenneP
 
   /** Per-shingle base hashes — over DISTINCT shingles (duplicates cannot
-    * change any min, and repeated-shingle documents are common).
+    * change any min, and repeated-shingle documents are common). `sg` must
+    * be a projected shingle-array column (see TextOps.shingles PERF note).
     */
-  def shingleBaseHashes(text: Column, n: Int = 3): Column =
-    transform(array_distinct(TextOps.shingles(text, n)),
-      s => pmod(PortableHash.h60(s), lit(MersenneP)))
+  def shingleBaseHashesOf(sg: Column): Column =
+    transform(array_distinct(sg), s => pmod(PortableHash.h60(s), lit(MersenneP)))
 
   /** MinHash signature over a precomputed base-hash array column. */
   def minhashSignatureFromHashes(baseHashes: Column, k: Int = 32): Column =
@@ -53,17 +53,18 @@ object DedupOps {
             + element_at(array((0 until k).map(j => lit(affineB(j))): _*), i + 1), lit(MersenneP)))))
         .otherwise(lit(Long.MaxValue)))
 
-  def minhashSignature(text: Column, n: Int = 3, k: Int = 32): Column =
-    minhashSignatureFromHashes(shingleBaseHashes(text, n), k)
-
   /** LSH band rows: one row per (doc, band) with the band's hash — join
-    * candidates share (band, bandHash). Base hashes and the signature are
-    * materialized as columns so each is computed once per row.
+    * candidates share (band, bandHash). Every intermediate (words,
+    * shingles, base hashes, signature) is a separate projection stage, so
+    * each is computed ONCE per row — inlining them re-evaluates the
+    * upstream expression inside each lambda element (measured 10× slower).
     */
   def lshBands(docs: DataFrame, text: Column, id: Column,
                n: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
     val rowsPerBand = k / bands
-    docs.select(id.as("doc_id"), shingleBaseHashes(text, n).as("bh"))
+    docs.select(id.as("doc_id"), TextOps.words(text).as("ws"))
+      .select(col("doc_id"), TextOps.shinglesOfWords(col("ws"), n).as("sg"))
+      .select(col("doc_id"), shingleBaseHashesOf(col("sg")).as("bh"))
       .select(col("doc_id"), minhashSignatureFromHashes(col("bh"), k).as("sig"))
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)), b =>
@@ -112,8 +113,10 @@ object DedupOps {
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
 
-    val shingleSets = reps.select(col("doc_id"),
-      array_distinct(TextOps.shingles(col("text"), n)).as("sh"))
+    val shingleSets = reps
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .select(col("doc_id"), TextOps.shinglesOfWords(col("ws"), n).as("sg"))
+      .select(col("doc_id"), array_distinct(col("sg")).as("sh"))
     pairs
       .join(shingleSets.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
       .join(shingleSets.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")

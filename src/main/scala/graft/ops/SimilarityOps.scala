@@ -123,17 +123,25 @@ object SimilarityOps {
     import org.apache.spark.sql.expressions.Window
     val embD = transform(emb, x => x.cast("double"))
     val norm = sqrt(aggregate(transform(embD, x => x * x), lit(0.0), (acc, x) => acc + x))
+    // norm is precomputed per VECTOR (not per pair): the verify join's cost
+    // is pairs × dot-product; folding each side's norm into the bucketed
+    // rows removes two of the three per-pair array aggregations
     val coded = vectors
       .filter(norm > 1e-9)
-      .select(id.as("vec_id"), emb.as("emb"), srpCode(emb, planes).as("bucket"))
+      .select(id.as("vec_id"), emb.as("emb"), srpCode(emb, planes).as("bucket"),
+        norm.as("norm"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("bucket")).orderBy(col("vec_id"))))
       .filter(col("rn") <= maxBucket)
       .drop("rn")
+    val dot = aggregate(
+      zip_with(transform(col("l.emb"), x => x.cast("double")),
+        transform(col("r.emb"), x => x.cast("double")), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
     coded.as("l").join(coded.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
-        round(cosineBetween(col("l.emb"), col("r.emb")), 4).as("cosine"))
+        round(dot / (col("l.norm") * col("r.norm")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 

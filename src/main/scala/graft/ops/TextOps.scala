@@ -87,12 +87,21 @@ object TextOps {
     aggregate(words(text), lit(0L),
       (acc, w) => PortableHash.h60(concat(acc.cast("string"), lit("|"), w)))
 
-  /** Word n-gram shingles as space-joined strings (n ≥ 1). */
-  def shingles(text: Column, n: Int): Column = {
-    val w = words(text)
+  /** Word n-gram shingles as space-joined strings (n ≥ 1).
+    *
+    * PERF: when `w` is an inline expression (e.g. `words(text)`), Catalyst
+    * does NOT common-subexpression-eliminate it across the `size` guards
+    * and the lambda body — the split would re-run per shingle, turning a
+    * linear op quadratic. Hot paths must pass a materialized words COLUMN
+    * (a projected attribute is evaluated once per row): see
+    * [[shinglesOfWords]] and DedupOps.lshBands' staged projections.
+    */
+  def shingles(text: Column, n: Int): Column = shinglesOfWords(words(text), n)
+
+  /** Shingles over an already-projected words column. */
+  def shinglesOfWords(w: Column, n: Int): Column =
     when(size(w) >= n,
       transform(sequence(lit(0), size(w) - n),
         i => concat_ws(" ", slice(w, i + 1, lit(n)))))
       .otherwise(array())
-  }
 }

@@ -231,7 +231,12 @@ object Expansion {
 
         if (expandedProperty == null || expandedProperty == "" ||
             (!expandedProperty.contains(':') && !isKeyword(expandedProperty))) {
-          // drop properties that do not expand to an IRI or keyword
+          // drop properties that do not expand to an IRI or keyword —
+          // unless safeMode demands observable data loss
+          // (cf. /root/reference/ld/api_expand.go:365)
+          if (opts.safeMode)
+            throw JsonLdError(JsonLdError.InvalidProperty,
+              s"Dropping property that did not expand into an absolute IRI or keyword: $key")
         } else if (isKeyword(expandedProperty)) {
           var expandedValue: Any = null
           var continueOuter = false

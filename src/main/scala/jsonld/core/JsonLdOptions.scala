@@ -25,7 +25,19 @@ final case class JsonLdOptions(
     algorithm: String = "URDNA2015",
     format: String = "",
     // RDF direction handling ("", "i18n-datatype", "compound-literal")
-    rdfDirection: String = ""
+    rdfDirection: String = "",
+    // ------- non-spec extras (reference options.go:63-68 parity) -------
+    // normalize/fromRdf input given as serialized RDF (application/n-quads)
+    inputFormat: String = "",
+    // fromRdf post-processing: "" | "expanded" | "compacted" | "flattened"
+    outputForm: String = "",
+    // collect @context prefix candidates into RdfDataset.namespaces
+    // (consumed by prefix-printing serializers; Turtle is a stub in the
+    // reference too, so the map is simply exposed)
+    useNamespaces: Boolean = false,
+    // expansion raises InvalidProperty instead of silently dropping
+    // non-IRI keys — at corpus scale data loss must be observable
+    safeMode: Boolean = false
 ) {
   def isMode11: Boolean = processingMode >= JsonLdOptions.JsonLd11
   /** omitGraph defaults to true in JSON-LD 1.1 processing mode. */

@@ -61,10 +61,29 @@ object Processor {
     }
   }
 
-  /** Deserialize JSON-LD to an RDF dataset. */
+  /** Deserialize JSON-LD to an RDF dataset. With `useNamespaces`, prefix
+    * candidates from the input's top-level @context (string-valued terms)
+    * are collected into `dataset.namespaces` for prefix-printing
+    * serializers (cf. /root/reference/ld/processor.go:514-529).
+    */
   def toRdf(input: Any, opts: JsonLdOptions): RdfDataset = {
     val expanded = expand(input, opts)
-    ToRdf.toRdf(expanded, opts)
+    val dataset = ToRdf.toRdf(expanded, opts)
+    if (opts.useNamespaces) input match {
+      case m: JObj @unchecked =>
+        m.getOrElse("@context", null) match {
+          case ctx: JObj @unchecked =>
+            ctx.foreach {
+              case (term, iri: String)
+                  if !term.startsWith("@") && (iri.endsWith("#") || iri.endsWith("/")) =>
+                dataset.namespaces(term) = iri
+              case _ =>
+            }
+          case _ =>
+        }
+      case _ =>
+    }
+    dataset
   }
 
   /** Deserialize to N-Quads text. */
@@ -77,6 +96,8 @@ object Processor {
   def normalize(input: Any, opts: JsonLdOptions): String = {
     val dataset = input match {
       case ds: RdfDataset => ds
+      case s: String if opts.inputFormat == "application/n-quads" ||
+        opts.inputFormat == "application/nquads" => parseNQuads(s)
       case other => toRdf(other, opts)
     }
     new Canonicalizer(opts.algorithm).canonicalize(dataset)
@@ -210,6 +231,21 @@ object Processor {
       case other => throw JsonLdError(JsonLdError.UnknownFormat, String.valueOf(other))
     }
     FromRdf.fromRdf(dataset, opts)
+  }
+
+  /** fromRdf with the reference's `outputForm` post-processing
+    * (/root/reference/ld/processor.go:473-482): re-shape the expanded
+    * result. N-Quads carry no context, so compact/flatten run with an
+    * empty context — exactly what the reference does for this input.
+    */
+  def fromRdfWithOutputForm(input: Any, opts: JsonLdOptions): Any = {
+    val rval = fromRdf(input, opts)
+    opts.outputForm match {
+      case "" | "expanded" => rval
+      case "compacted" => compact(rval, null, opts)
+      case "flattened" => flatten(rval, null, opts)
+      case other => throw JsonLdError(JsonLdError.UnknownError, s"Output form was unknown: $other")
+    }
   }
 
   /** Framing entry point (JSON-LD Framing 1.1 §4.1). */

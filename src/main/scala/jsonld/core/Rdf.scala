@@ -59,6 +59,12 @@ object Rdf {
       */
     var droppedQuads: Long = 0L
 
+    /** prefix → namespace IRI, populated by toRDF under `useNamespaces`
+      * (consumed by prefix-printing serializers).
+      */
+    val namespaces: mutable.LinkedHashMap[String, String] =
+      mutable.LinkedHashMap.empty[String, String]
+
     def addQuads(graphName: String, quads: Iterable[Quad]): Unit =
       graphs.getOrElseUpdate(graphName, mutable.ArrayBuffer.empty) ++= quads
 

@@ -154,10 +154,14 @@ object Pipeline extends Serializable {
 
   /** Corpus-level triple dedup — set semantics across documents. Hash
     * aggregate, map-side partial combine; the single unavoidable shuffle of
-    * the spine.
+    * the spine. docId is dropped BEFORE the shuffle: dedup keeps an
+    * arbitrary witness anyway, and at corpus scale the column is pure
+    * shuffle weight (the graph is the quad set, provenance lives in the
+    * lineage/quarantine tables).
     */
   def dedupQuads(q: Dataset[QuadRow]): DataFrame =
-    q.toDF().dropDuplicates(Seq("subj", "pred", "obj", "objKind", "objDatatype", "objLang", "graph"))
+    q.toDF().drop("docId")
+      .dropDuplicates(Seq("subj", "pred", "obj", "objKind", "objDatatype", "objLang", "graph"))
 
   /** Lineage: per-partition counts derived from the wire rows — a plain
     * aggregation Catalyst can fuse, no second pass over the data.
@@ -221,6 +225,42 @@ object Pipeline extends Serializable {
       .withColumn("predBucket", pmod(hash(col("pred")), lit(buckets)))
       .repartition(col("predBucket"), pmod(hash(col("subj")), lit(16)))
       .sortWithinPartitions("subj", "pred", "obj")
+      .write.mode("overwrite")
+      .partitionBy("predBucket")
+      .parquet(outDir)
+  }
+
+  private val graphCols =
+    Seq("subj", "pred", "obj", "objKind", "objDatatype", "objLang", "graph")
+
+  /** Fused dedup + bucketed materialize — ONE shuffle for both.
+    *
+    * `dropDuplicates` followed by `writePartitioned` shuffles every quad
+    * twice (hash-agg exchange, then the write repartition). But two equal
+    * quads share pred and subj, hence the same (predBucket, subjSalt)
+    * write partition — so the write's own repartition already co-locates
+    * duplicates, and dedup degenerates to dropping adjacent rows after the
+    * per-partition sort (which the bucketed layout wants anyway). Halves
+    * shuffle bytes AND skips the hash-aggregate build over what is, on a
+    * real corpus, an almost-entirely-distinct key set.
+    */
+  def dedupAndWritePartitioned(q: Dataset[QuadRow], outDir: String, buckets: Int = 64): Unit = {
+    import q.sparkSession.implicits._
+    val sortCols = ("predBucket" +: graphCols).map(col)
+    q.toDF().drop("docId")
+      .withColumn("predBucket", pmod(hash(col("pred")), lit(buckets)))
+      .repartition(col("predBucket"), pmod(hash(col("subj")), lit(16)))
+      .sortWithinPartitions(sortCols: _*)
+      .mapPartitions { rows =>
+        // rows are sorted by every dedup column → duplicates are adjacent
+        var prev: org.apache.spark.sql.Row = null
+        rows.filter { r =>
+          val keep = prev == null || r != prev
+          prev = r
+          keep
+        }
+      }(org.apache.spark.sql.Encoders.row(
+        Schemas.graphQuadSchema(withBucket = true)))
       .write.mode("overwrite")
       .partitionBy("predBucket")
       .parquet(outDir)

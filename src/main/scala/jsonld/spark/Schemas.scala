@@ -68,3 +68,22 @@ final case class LineageRow(
     docsFailed: Long,
     quadsOut: Long,
     wallMillis: Long)
+
+object Schemas {
+  import org.apache.spark.sql.types._
+
+  /** Row schema of the materialized graph (QuadRow minus docId), with the
+    * trailing predBucket partition column when `withBucket`.
+    */
+  def graphQuadSchema(withBucket: Boolean): StructType = {
+    val base = StructType(Seq(
+      StructField("subj", StringType, nullable = true),
+      StructField("pred", StringType, nullable = true),
+      StructField("obj", StringType, nullable = true),
+      StructField("objKind", ByteType, nullable = true),
+      StructField("objDatatype", StringType, nullable = true),
+      StructField("objLang", StringType, nullable = true),
+      StructField("graph", StringType, nullable = true)))
+    if (withBucket) base.add(StructField("predBucket", IntegerType, nullable = true)) else base
+  }
+}

@@ -169,4 +169,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lin.map(_.getAs[Long]("quadsOut")).sum == 50L)
     assert(lin.length >= 1)
   }
+
+  test("fused dedupAndWritePartitioned equals dropDuplicates-then-write, with one shuffle") {
+    val counters = Pipeline.newCounters(spark)
+    val ctxCache = spark.sparkContext.broadcast(Map.empty[String, String])
+    // duplicates across docs AND within the same write bucket
+    val rows = (0 until 60).map { i =>
+      DetectedDoc(s"d$i", "r", s"f$i.jsonld", "c", 0, s"graft://r/f$i",
+        s"""{"@id": "http://ex.org/s${i % 20}", "http://ex.org/p${(i % 20) % 3}": "v${i % 20}"}""", "x")
+    }
+    val pipe = Pipeline.transformStage(
+      spark.createDataset(rows)(org.apache.spark.sql.Encoders.product[DetectedDoc]).repartition(4),
+      ctxCache, counters)
+    val quads = Pipeline.quads(pipe)
+
+    val expected = Pipeline.dedupQuads(quads)
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(expected.size == 20, s"fixture should dedup 60 → 20, got ${expected.size}")
+
+    val out = Files.createTempDirectory("fused").toString
+    Pipeline.dedupAndWritePartitioned(quads, out, buckets = 8)
+    val written = spark.read.parquet(out)
+      .select("subj", "pred", "obj", "objKind", "objDatatype", "objLang", "graph")
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(written == expected, "fused path must produce the exact dedup set")
+  }
 }
