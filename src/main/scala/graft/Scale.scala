@@ -1,39 +1,82 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
+
 /** Scaling-efficiency evidence (north rule: ≥0.8 efficiency from N to 4N
-  * executors). No real cluster exists in this sandbox, so the same job runs
-  * at two local parallelism levels — local[N] and local[4N] — on the same
-  * input, and we report throughput at both plus
-  * efficiency = (throughput_4N / throughput_N) / 4.
+  * executors). No multi-machine cluster exists in this sandbox; two
+  * fidelity levels are supported:
   *
-  * Run: sbt "runMain graft.Scale [sfDir] [N] [replication]"
+  *  - `local[k]` (default): one JVM, k scheduler threads. Cheap but
+  *    UNDER-reports scaling — all "executors" share one garbage collector
+  *    and one heap, which no real cluster does.
+  *  - `SPARK_GRAFT_MODE=cluster`: `local-cluster[n, coresPerExec, mem]` —
+  *    a real standalone master/worker with n SEPARATE executor JVMs
+  *    (own heaps, own GCs, netty shuffle between processes). This is the
+  *    faithful single-box stand-in for "N executors vs 4N executors".
+  *
+  * Measurement order is interleaved A/B/A/B… (alternating sessions per
+  * parallelism level) and per-level best-of-runs, so slow host-level
+  * drift hits both levels equally instead of poisoning whichever level
+  * ran second.
+  *
+  * Run: sbt "runMain graft.Scale [sfDir] [N] [replication] [rounds]"
   */
 object Scale {
+
   def main(args: Array[String]): Unit = {
+    Bench.cleanWorkRoot()
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val n = if (args.length > 1) args(1).toInt else 8
     val replication = if (args.length > 2) args(2).toInt else 40
+    val rounds = if (args.length > 3) args(3).toInt else 2
+    val clusterMode = sys.env.get("SPARK_GRAFT_MODE").contains("cluster")
+    val coresPerExec = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "8").toInt
+    val execMemMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "10240").toInt
 
-    def run(cpus: Int): (Double, Long, Double) = {
-      val spark = Bench.newSession(cpus.toString)
+    def master(units: Int): String =
+      if (clusterMode) s"local-cluster[$units,$coresPerExec,$execMemMb]"
+      else s"local[$units]"
+    def label(units: Int): String =
+      if (clusterMode) s"$units executors x $coresPerExec cores" else s"local[$units]"
+
+    /** One measured session at `units` parallelism: warmup + `iters`
+      * timed runs, returns the per-run (secs, triples) list.
+      */
+    def session(units: Int, iters: Int, warmupRep: Int): Seq[(Double, Long)] = {
+      val spark = Bench.newSessionMaster(master(units))
       spark.sparkContext.setLogLevel("WARN")
-      val outDir = java.nio.file.Files.createTempDirectory(s"graft-scale-$cpus").toString
-      // substantial warmup: both parallelism levels share one JVM, so the
-      // hot paths must be fully JIT-compiled before EITHER measurement or
-      // the second level gets an unfair advantage
-      Bench.pipelineThroughput(spark, sfDir, math.max(20, replication / 10), s"$outDir/warmup")
-      // best of two measured iterations (page cache + codegen settled)
-      val (s1, t1) = Bench.pipelineThroughput(spark, sfDir, replication, s"$outDir/quads1")
-      val (s2, t2) = Bench.pipelineThroughput(spark, sfDir, replication, s"$outDir/quads2")
+      val outDir = Bench.newWorkDir(s"graft-scale-$units")
+      Bench.pipelineThroughput(spark, sfDir, warmupRep, s"$outDir/warmup")
+      val runs = (1 to iters).map(i =>
+        Bench.pipelineThroughput(spark, sfDir, replication, s"$outDir/quads$i"))
       spark.stop()
-      val (secs, triples) = if (s1 <= s2) (s1, t1) else (s2, t2)
-      (secs, triples, triples / secs)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(outDir)).iterator().asScala.toSeq
+          .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Exception => () }
+      runs
     }
 
-    val (secsN, triplesN, thrN) = run(n)
-    val (secs4N, triples4N, thr4N) = run(4 * n)
-    val efficiency = (thr4N / thrN) / 4.0
+    // interleave: N, 4N, N, 4N, … so host drift cancels
+    val warmupRep = math.max(10, replication / 10)
+    var runsN = Seq.empty[(Double, Long)]
+    var runs4N = Seq.empty[(Double, Long)]
+    (1 to rounds).foreach { r =>
+      System.err.println(s"[scale] round $r/${rounds}: ${label(n)}")
+      runsN ++= session(n, iters = 2, warmupRep)
+      System.err.println(s"[scale] round $r/${rounds}: ${label(4 * n)}")
+      runs4N ++= session(4 * n, iters = 2, warmupRep)
+    }
 
-    println(f"""{"metric":"scaling_efficiency","value":$efficiency%.3f,"unit":"ratio","n_cores":$n,"throughput_n":$thrN%.1f,"sec_n":$secsN%.2f,"triples_n":$triplesN,"n4_cores":${4 * n},"throughput_4n":$thr4N%.1f,"sec_4n":$secs4N%.2f,"triples_4n":$triples4N,"sf":"$sfDir","replication":$replication}""")
+    val (secsN, triplesN) = runsN.minBy(_._1)
+    val (secs4N, triples4N) = runs4N.minBy(_._1)
+    val thrN = triplesN / secsN
+    val thr4N = triples4N / secs4N
+    val efficiency = (thr4N / thrN) / 4.0
+    val allN = runsN.map(r => f"${r._2 / r._1}%.0f").mkString("[", ",", "]")
+    val all4N = runs4N.map(r => f"${r._2 / r._1}%.0f").mkString("[", ",", "]")
+
+    println(f"""{"metric":"scaling_efficiency","value":$efficiency%.3f,"unit":"ratio","mode":"${if (clusterMode) "local-cluster" else "local"}","n_units":"${label(n)}","throughput_n":$thrN%.1f,"sec_n":$secsN%.2f,"n4_units":"${label(4 * n)}","throughput_4n":$thr4N%.1f,"sec_4n":$secs4N%.2f,"triples":$triplesN,"all_n":$allN,"all_4n":$all4N,"sf":"$sfDir","replication":$replication}""")
   }
 }

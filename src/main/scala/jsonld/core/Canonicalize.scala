@@ -22,13 +22,28 @@ final class Canonicalizer(algorithm: String = "URDNA2015",
   private val canonicalIssuer = new IdentifierIssuer("_:c14n")
   private var permutationBudget: Long = maxPermutations
 
+  /** Fresh digest via clone of a thread-local prototype.
+    * `MessageDigest.getInstance` walks the JCA provider tables behind a
+    * lock — at 15M+ digests across 32 executor threads that lookup
+    * serializes the whole transform stage. Cloning is lock-free, and each
+    * clone is independent (hashNDegreeQuads keeps a digest live across
+    * recursive calls, so plain instance reuse would corrupt state).
+    */
   private def newDigest(): MessageDigest =
-    MessageDigest.getInstance(if (urdna) "SHA-256" else "SHA-1")
+    (if (urdna) Canonicalizer.sha256Proto else Canonicalizer.sha1Proto)
+      .get().clone().asInstanceOf[MessageDigest]
 
   private def hex(bytes: Array[Byte]): String = {
-    val sb = new StringBuilder(bytes.length * 2)
-    bytes.foreach { b => sb.append(f"${b & 0xff}%02x") }
-    sb.toString
+    // manual nibble loop: a per-byte format string allocates a
+    // java.util.Formatter per byte — measured hot in URDNA2015
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = Canonicalizer.HexChars((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = Canonicalizer.HexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** Returns canonical, sorted N-Quads lines (each with trailing ".\n"). */
@@ -263,6 +278,14 @@ final class Canonicalizer(algorithm: String = "URDNA2015",
     }
     (hex(md.digest()), issuer)
   }
+}
+
+object Canonicalizer {
+  private[core] val HexChars = "0123456789abcdef".toCharArray
+  private[core] val sha256Proto: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("SHA-256"))
+  private[core] val sha1Proto: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("SHA-1"))
 }
 
 /** Steinhaus–Johnson–Trotter permutation generator over a sorted list. */

@@ -30,12 +30,23 @@ object Detect extends Serializable {
   private val scriptRe =
     "(?is)<script[^>]*type\\s*=\\s*[\"']application/ld\\+json[\"'][^>]*>(.*?)</script>".r
 
+  // thread-local digest: getInstance's locked provider lookup serializes
+  // executor threads at scale; digest(bytes) resets, so reuse is safe here
+  // (no nested use)
+  private val sha256Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("SHA-256"))
+  private val HexChars = "0123456789abcdef".toCharArray
+
   def sha256Hex(s: String): String = {
-    val md = MessageDigest.getInstance("SHA-256")
-    val d = md.digest(s.getBytes("UTF-8"))
-    val sb = new StringBuilder(64)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    val d = sha256Local.get().digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](64)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** Extract 0..n candidate JSON-LD documents from one file. Pure; returns

@@ -54,14 +54,16 @@ object Pipeline extends Serializable {
       docsDetected: LongAccumulator,
       docsOk: LongAccumulator,
       docsFailed: LongAccumulator,
-      quadsOut: LongAccumulator)
+      quadsOut: LongAccumulator,
+      quadsDropped: LongAccumulator)
 
   def newCounters(spark: SparkSession): Counters = Counters(
     spark.sparkContext.longAccumulator("graft.filesIn"),
     spark.sparkContext.longAccumulator("graft.docsDetected"),
     spark.sparkContext.longAccumulator("graft.docsOk"),
     spark.sparkContext.longAccumulator("graft.docsFailed"),
-    spark.sparkContext.longAccumulator("graft.quadsOut"))
+    spark.sparkContext.longAccumulator("graft.quadsOut"),
+    spark.sparkContext.longAccumulator("graft.quadsDropped"))
 
   /** Stage 1: detection. Cheap column-level pre-filter first (pushable /
     * codegen'd), then the per-file extractor.
@@ -108,6 +110,8 @@ object Pipeline extends Serializable {
             }
           val expanded = Processor.expand(parsed, opts)
           val dataset = ToRdf.toRdf(expanded, opts)
+          // well-formedness-dropped quads are data loss → observable metric
+          counters.quadsDropped.add(dataset.droppedQuads)
           val quads: Seq[(String, Quad)] =
             if (canonicalize)
               new Canonicalizer("URDNA2015", maxPermutations).canonicalQuads(dataset)
@@ -141,15 +145,25 @@ object Pipeline extends Serializable {
     }
   }
 
+  /** ok/quarantine splits are UNTYPED (column filter + projection): a
+    * typed `filter(_.ok).map(...)` would deserialize all 13 PipeRow fields
+    * and re-encode per quad — measured as a large share of the transform
+    * stage's wall time. These stay entirely inside Tungsten/codegen.
+    */
   def quads(pipe: Dataset[PipeRow]): Dataset[QuadRow] = {
     import pipe.sparkSession.implicits._
-    pipe.filter(_.ok).map(p =>
-      QuadRow(p.docId, p.subj, p.pred, p.obj, p.objKind, p.objDatatype, p.objLang, p.graph))
+    pipe.toDF().filter(col("ok"))
+      .select(col("docId"), col("subj"), col("pred"), col("obj"),
+        col("objKind"), col("objDatatype"), col("objLang"), col("graph"))
+      .as[QuadRow]
   }
 
   def quarantine(pipe: Dataset[PipeRow]): Dataset[ErrorRow] = {
     import pipe.sparkSession.implicits._
-    pipe.filter(!_.ok).map(p => ErrorRow(p.docId, p.repo, p.path, "transform", p.errorCode, p.errorMessage))
+    pipe.toDF().filter(!col("ok"))
+      .select(col("docId"), col("repo"), col("path"),
+        lit("transform").as("stage"), col("errorCode"), col("errorMessage").as("message"))
+      .as[ErrorRow]
   }
 
   /** Corpus-level triple dedup — set semantics across documents. Hash
@@ -244,25 +258,67 @@ object Pipeline extends Serializable {
     * shuffle bytes AND skips the hash-aggregate build over what is, on a
     * real corpus, an almost-entirely-distinct key set.
     */
-  def dedupAndWritePartitioned(q: Dataset[QuadRow], outDir: String, buckets: Int = 64): Unit = {
-    import q.sparkSession.implicits._
-    val sortCols = ("predBucket" +: graphCols).map(col)
+  /** The fused plan, exposed for plan assertions (PlanSpec pins the
+    * single-Exchange shape as a regression test).
+    *
+    * Dedup mechanics: sorting by the quad columns directly is
+    * pathologically slow here — subject IRIs share long prefixes, so the
+    * sorter's 8-byte prefix disambiguates nothing and every comparison
+    * walks multiple strings. Instead rows sort by ONE xxhash64 over all
+    * quad columns (radix-friendly 8-byte key), which makes duplicate
+    * quads adjacent up to hash collisions; each equal-hash run (almost
+    * always a single row) is then deduplicated by EXACT row comparison,
+    * so a collision can never drop a distinct quad. The dynamic-partition
+    * writer re-sorts by the int predBucket only — cheap.
+    */
+  /** The single-Exchange stage feeding the fused dedup (exposed so
+    * PlanSpec can pin the one-shuffle shape — the InternalRow map below
+    * hides it behind an RDD scan).
+    */
+  def bucketSorted(q: Dataset[QuadRow], buckets: Int): DataFrame =
     q.toDF().drop("docId")
       .withColumn("predBucket", pmod(hash(col("pred")), lit(buckets)))
+      .withColumn("qh", xxhash64(graphCols.map(col): _*))
       .repartition(col("predBucket"), pmod(hash(col("subj")), lit(16)))
-      .sortWithinPartitions(sortCols: _*)
-      .mapPartitions { rows =>
-        // rows are sorted by every dedup column → duplicates are adjacent
-        var prev: org.apache.spark.sql.Row = null
-        rows.filter { r =>
-          val keep = prev == null || r != prev
-          prev = r
-          keep
+      .sortWithinPartitions(col("qh"))
+
+  def dedupForWrite(q: Dataset[QuadRow], buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    val sorted = bucketSorted(q, buckets)
+    // adjacent-dedup over raw UnsafeRows (GraftInternal): the Row-encoder
+    // version allocated one boxed row per quad and inverted thread scaling
+    org.apache.spark.sql.GraftInternal.mapPartitionsUnsafe(sorted, { rows =>
+      new Iterator[InternalRow] {
+        private val QhIdx = 8 // trailing qh column
+        // rows share a mutable buffer → copy anything retained (one flat
+        // byte-array copy per row; no boxing, no string decode)
+        private var pending: InternalRow = if (rows.hasNext) rows.next().copy() else null
+        private val out = scala.collection.mutable.Queue.empty[InternalRow]
+        private def refill(): Unit = if (out.isEmpty && pending != null) {
+          // collect the full run of hash-equal rows starting at `pending`,
+          // dropping exact duplicates within it (hash-equal ≠ row-equal)
+          val h = pending.getLong(QhIdx)
+          val run = scala.collection.mutable.ArrayBuffer[InternalRow](pending)
+          pending = null
+          var done = false
+          while (!done && rows.hasNext) {
+            val r = rows.next()
+            if (r.getLong(QhIdx) == h) {
+              val c = r.copy()
+              if (!run.exists(_ == c)) run += c
+            } else { pending = r.copy(); done = true }
+          }
+          out ++= run
         }
-      }(org.apache.spark.sql.Encoders.row(
-        Schemas.graphQuadSchema(withBucket = true)))
+        def hasNext: Boolean = { refill(); out.nonEmpty }
+        def next(): InternalRow = { refill(); out.dequeue() }
+      }
+    }).drop("qh")
+  }
+
+  def dedupAndWritePartitioned(q: Dataset[QuadRow], outDir: String, buckets: Int = 64): Unit =
+    dedupForWrite(q, buckets)
       .write.mode("overwrite")
       .partitionBy("predBucket")
       .parquet(outDir)
-  }
 }

@@ -58,8 +58,6 @@ class W3CSuiteSpec extends AnyFunSuite {
                                     inputUrl: String,
                                     contentType: String, httpLink: Seq[String],
                                     redirectTo: String) extends DocumentLoader {
-    private val linkTarget = "<([^>]*)>".r
-
     private def guessCt(url: String): String =
       if (url.endsWith(".jsonld")) "application/ld+json"
       else if (url.endsWith(".json")) "application/json"
@@ -85,24 +83,22 @@ class W3CSuiteSpec extends AnyFunSuite {
         return plain(Uri.resolve(baseIri, redirectTo)) // documentUrl = final target
       val ct = if (contentType != null) contentType else guessCt(url)
 
-      val ctxLinks = httpLink.filter(_.contains("http://www.w3.org/ns/json-ld#context"))
-      val altLinks = httpLink.filter(l =>
-        l.contains("rel=\"alternate\"") && l.contains("type=\"application/ld+json\""))
+      val links = LinkHeader.parse(httpLink)
+      val ctxLinks = links.getOrElse("http://www.w3.org/ns/json-ld#context", Nil)
+      val altLinks = links.getOrElse("alternate", Nil)
+        .filter(_.`type` == "application/ld+json")
 
       // rel=alternate application/ld+json is only followed when the
       // content itself is not processable JSON (e.g. text/html)
-      if (!jsonish(ct) && altLinks.nonEmpty) {
-        val target = linkTarget.findFirstMatchIn(altLinks.head).get.group(1)
-        return plain(Uri.resolve(url, target))
-      }
+      if (!jsonish(ct) && altLinks.nonEmpty)
+        return plain(Uri.resolve(url, altLinks.head.target))
       if (!jsonish(ct))
         throw JsonLdError(JsonLdError.LoadingDocumentFailed, s"unsupported content type $ct")
       if (ct != "application/ld+json" && ctxLinks.nonEmpty) {
         if (ctxLinks.size > 1)
           throw JsonLdError(JsonLdError.MultipleContextLinkHeaders, url)
-        val target = linkTarget.findFirstMatchIn(ctxLinks.head).get.group(1)
         val base = plain(url)
-        return RemoteDocument(url, base.document, Uri.resolve(url, target))
+        return RemoteDocument(url, base.document, Uri.resolve(url, ctxLinks.head.target))
       }
       plain(url)
     }

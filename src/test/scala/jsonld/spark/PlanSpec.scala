@@ -82,4 +82,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("HashAggregate") || p.contains("partial"),
       s"dedup not hash-aggregated:\n$p")
   }
+
+  test("fused dedup+materialize plans exactly ONE exchange") {
+    import org.apache.spark.sql.Encoders
+    val rows = (0 until 10).map(i =>
+      QuadRow(s"d$i", s"s$i", "p", s"o$i", 0.toByte, "", "", ""))
+    val q = spark.createDataset(rows)(Encoders.product[QuadRow])
+    val p = plan(Pipeline.bucketSorted(q, buckets = 8))
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 shuffle, found $exchanges:\n$p")
+    // and the dedup stage on top adds none (its plan is the RDD scan)
+    val p2 = plan(Pipeline.dedupForWrite(q, buckets = 8))
+    assert(!p2.contains("Exchange"), s"dedup added a shuffle:\n$p2")
+  }
 }
