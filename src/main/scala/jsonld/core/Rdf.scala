@@ -59,6 +59,13 @@ object Rdf {
       */
     var droppedQuads: Long = 0L
 
+    /** Quads excluded by the JSON-LD→RDF spec itself (relative IRIs in
+      * subject/predicate/object/graph position are not emitted) — a
+      * separate counter from [[droppedQuads]] because these are mandated
+      * exclusions, not validity filtering; pipelines surface both.
+      */
+    var skippedRelative: Long = 0L
+
     /** prefix → namespace IRI, populated by toRDF under `useNamespaces`
       * (consumed by prefix-printing serializers).
       */

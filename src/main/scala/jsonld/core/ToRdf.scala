@@ -49,9 +49,9 @@ object ToRdf {
           } else if (isKeyword(property)) {
             // skip
           } else if (property.startsWith("_:") && !produceGeneralizedRdf) {
-            // skip
+            ds.skippedRelative += node(property).asInstanceOf[JArr].size
           } else if (isRelativeIri(property)) {
-            // skip
+            ds.skippedRelative += node(property).asInstanceOf[JArr].size
           } else {
             values = node(property).asInstanceOf[JArr]
           }
@@ -62,6 +62,7 @@ object ToRdf {
             values.foreach { item =>
               val obj = objectToRdf(item, issuer, graphNode, triples, rdfDirection)
               if (obj != null) triples += Quad(subject, predicate, obj, graphNode)
+              else ds.skippedRelative += 1 // spec-mandated skip (e.g. relative @id)
             }
           }
         }

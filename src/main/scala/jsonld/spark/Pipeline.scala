@@ -110,8 +110,9 @@ object Pipeline extends Serializable {
             }
           val expanded = Processor.expand(parsed, opts)
           val dataset = ToRdf.toRdf(expanded, opts)
-          // well-formedness-dropped quads are data loss → observable metric
-          counters.quadsDropped.add(dataset.droppedQuads)
+          // observable data loss: validity-filtered quads AND spec-mandated
+          // relative-IRI skips (both silent in the reference)
+          counters.quadsDropped.add(dataset.droppedQuads + dataset.skippedRelative)
           val quads: Seq[(String, Quad)] =
             if (canonicalize)
               new Canonicalizer("URDNA2015", maxPermutations).canonicalQuads(dataset)

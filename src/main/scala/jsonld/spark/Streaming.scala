@@ -40,6 +40,33 @@ object Streaming {
       .groupBy(window(col("ingestTs"), windowDur, slideDur), col("pred"))
       .agg(count(lit(1)).as("n_quads"))
 
+  /** Streaming exact quad dedup with TTL'd state — the set-semantics
+    * option the spine's batch dedup deliberately leaves to a state store:
+    * the first occurrence of a quad passes through, repeats within `ttl`
+    * are suppressed, and the per-quad state entry expires on processing-
+    * time timeout so state is bounded by the distinct-quad rate × TTL
+    * rather than the stream's full history. Keyed by the full quad (exact;
+    * at extreme key cardinality swap the key for a 128-bit hash pair and
+    * accept ~2^-128 collision odds).
+    */
+  def streamingDedupQuads(quads: Dataset[QuadRow], ttl: String = "1 hour"): Dataset[QuadRow] = {
+    import quads.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    quads
+      .groupByKey(q => (q.subj, q.pred, q.obj, q.objKind, q.objDatatype, q.objLang, q.graph))
+      .flatMapGroupsWithState[Boolean, QuadRow](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty // seen within TTL → suppress
+          else {
+            state.update(true)
+            state.setTimeoutDuration(ttl)
+            rows.take(1)
+          }
+      }
+  }
+
   /** File-source streaming entry: watch a directory of corpus parquet and
     * continuously emit quads to a parquet sink with checkpointing. Returns
     * the started query (caller stops it).

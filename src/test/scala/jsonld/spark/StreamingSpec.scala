@@ -47,4 +47,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.select("pred").distinct().collect().map(_.getString(0)).toSet ==
       Set("http://ex.org/p"))
   }
+
+  test("streamingDedupQuads suppresses repeats across micro-batches (TTL'd state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sp = spark; import sp.implicits._
+
+    val input = MemoryStream[QuadRow]
+    val deduped = Streaming.streamingDedupQuads(input.toDS(), ttl = "10 minutes")
+    val query = deduped.writeStream
+      .format("memory").queryName("dedup_out").outputMode(OutputMode.Append).start()
+    // NB: with ProcessingTimeTimeout registered, the micro-batch engine
+    // keeps scheduling timer-check batches, so processAllAvailable() never
+    // returns — poll the sink with a deadline instead.
+    def awaitCount(n: Long): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (spark.table("dedup_out").count() < n && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(spark.table("dedup_out").count() == n,
+        s"expected $n rows, got ${spark.table("dedup_out").count()}")
+    }
+    try {
+      def quad(i: Int) = QuadRow(s"d$i", s"s$i", "p", s"o$i", 0.toByte, "", "", "")
+      // batch 1: three distinct quads, one duplicated in-batch
+      input.addData(quad(1), quad(2), quad(3), quad(1).copy(docId = "other"))
+      awaitCount(3)
+      // batch 2: all repeats + one new → exactly one more row, repeats suppressed
+      input.addData(quad(2), quad(3), quad(4))
+      awaitCount(4)
+      Thread.sleep(1000) // grace: suppressed repeats must not trickle in late
+      val rows = spark.table("dedup_out").collect()
+      assert(rows.length == 4, s"expected 4 total, got ${rows.length}")
+      assert(rows.map(_.getAs[String]("subj")).toSet == Set("s1", "s2", "s3", "s4"))
+    } finally query.stop()
+  }
 }
