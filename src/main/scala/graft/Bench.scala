@@ -24,22 +24,46 @@ object Bench {
   def newWorkDir(prefix: String): String = {
     val root = java.nio.file.Paths.get(workRoot)
     java.nio.file.Files.createDirectories(root)
-    java.nio.file.Files.createTempDirectory(root, prefix).toString
+    val dir = java.nio.file.Files.createTempDirectory(root, prefix)
+    // pid lock: marks the dir as ours AND as live, so a concurrent run's
+    // cleanWorkRoot leaves it alone while a crashed run's gets reclaimed
+    java.nio.file.Files.writeString(dir.resolve(".graft-pid"),
+      ProcessHandle.current().pid().toString)
+    dir.toString
   }
 
-  /** Best-effort wipe of the (ours-only) work root — a killed prior run
-    * must not leak memory-backed files across benchmark sessions.
+  /** Best-effort reclaim of stale harness dirs — a killed prior run must
+    * not leak memory-backed files across benchmark sessions. Deletes ONLY
+    * `graft-*` subdirectories that carry our `.graft-pid` marker with a
+    * no-longer-alive pid: never the root itself, never foreign files (a
+    * user-set SPARK_GRAFT_WORKDIR=/dev/shm must not wipe other processes'
+    * shm), never a concurrent live run's dir.
     */
   def cleanWorkRoot(): Unit =
-    if (workRoot.startsWith("/dev/shm")) {
-      try {
-        import scala.jdk.CollectionConverters._
-        val root = java.nio.file.Paths.get(workRoot)
-        if (java.nio.file.Files.exists(root))
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq
-            .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Exception => () }
-    }
+    try {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(workRoot)
+      if (java.nio.file.Files.isDirectory(root)) {
+        java.nio.file.Files.list(root).iterator().asScala
+          .filter(p => java.nio.file.Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("graft-"))
+          .filter { p =>
+            val pidFile = p.resolve(".graft-pid")
+            java.nio.file.Files.exists(pidFile) && {
+              val alive = try {
+                val pid = java.nio.file.Files.readString(pidFile).trim.toLong
+                ProcessHandle.of(pid).map(_.isAlive).orElse(false)
+              } catch { case _: Exception => true } // unreadable → assume live
+              !alive
+            }
+          }
+          .toSeq
+          .foreach { dir =>
+            java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+              .reverse.foreach(f => java.nio.file.Files.deleteIfExists(f))
+          }
+      }
+    } catch { case _: Exception => () }
 
   def newSession(cpus: String): SparkSession = newSessionMaster(s"local[$cpus]")
 
@@ -140,22 +164,39 @@ object Bench {
     val (pipeSecs, triples) = if (s1 <= s2) (s1, t1) else (s2, t2)
     val throughput = triples / math.max(pipeSecs, 1e-9)
 
-    // per-query wall times; a crashing query must be visibly an error, not
-    // a misleadingly small wall time
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
-      }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+    // per-query wall times, best-of-k INTERLEAVED (full pass 1..k over all
+    // queries, min per query): this host shows sporadic multi-second stalls
+    // that poison single-shot timings — interleaving means a stall window
+    // hits one PASS, not the same query k times, so the per-query min is an
+    // honest steady-state number (same discipline as the headline). A
+    // crashing query must be visibly an error, not a small wall time.
+    val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val runs = (1 to queryReps).map { _ =>
+      names.map { name =>
+        val t0 = System.nanoTime()
+        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+        name -> ((System.nanoTime() - t0) / 1e9, ok)
+      }.toMap
+    }
+    val results = names.map { name =>
+      val per = runs.map(_(name))
+      (name, per.map(_._1).min, per.forall(_._2), per.map(_._1))
     }
 
-    val qs = (results.map { case (k, v, ok) =>
+    val qs = (results.map { case (k, v, ok, _) =>
         "\"" + k + "\":" + (if (ok) f"$v%.3f" else "\"error\"")
       } :+ ("\"pipeline_e2e\":" + f"$pipeSecs%.3f")).mkString("{", ",", "}")
+    // all observed times per query, so regressions vs noise are diagnosable
+    // from the artifact alone
+    val qsAll = results.map { case (k, _, _, all) =>
+        "\"" + k + "\":" + all.map(v => f"$v%.3f").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum + pipeSecs
-    val json = s"""{"metric":"pipeline_triples_per_sec","value":${f"$throughput%.1f"},"unit":"triples/sec","total_sec":${f"$total%.2f"},"pipeline_triples":$triples,"pipeline_sec":${f"$pipeSecs%.2f"},"failed":$failed,"queries":$qs,"sf":"$sfDir","cpus":"$cpus","replication":$replication,"workdir":"${Bench.workRoot}"}"""
+    val total = runs.flatMap(_.values.map(_._1)).sum + pipeSecs
+    val json = s"""{"metric":"pipeline_triples_per_sec","value":${f"$throughput%.1f"},"unit":"triples/sec","total_sec":${f"$total%.2f"},"pipeline_triples":$triples,"pipeline_sec":${f"$pipeSecs%.2f"},"failed":$failed,"queries":$qs,"query_runs":$qsAll,"query_reps":$queryReps,"sf":"$sfDir","cpus":"$cpus","replication":$replication,"workdir":"${Bench.workRoot}"}"""
     // memory-backed work dirs are not free: clean up so repeated runs
     // don't exhaust /dev/shm
     try {

@@ -79,12 +79,12 @@ object DedupOps {
     *
     * Skew guards (both essential at 100 TB, where duplicate-heavy crawls
     * are exactly the input dedup exists for):
-    *  1. exact-duplicate collapse first: only one representative per
-    *     identical text enters LSH — thousands of byte-identical documents
-    *     (the common degenerate bucket) contribute ONE band row each
-    *     instead of m rows and m²/2 candidate pairs. At full scale, group
-    *     by `sha2(text, 256)` and re-join one exemplar; grouping by the
-    *     text itself is equivalent here and keeps the oracle SQL plain.
+    *  1. exact-duplicate collapse first (keyed by `sha2(text, 256)`): only
+    *     one representative per identical text enters LSH — thousands of
+    *     byte-identical documents (the common degenerate bucket) contribute
+    *     ONE band row each instead of m rows and m²/2 candidate pairs. The
+    *     collapsed dup→rep mapping is recoverable via
+    *     [[exactDuplicatePairs]].
     *  2. a per-bucket cap (`maxBucket`, deterministic by doc_id order): a
     *     residual degenerate bucket produces at most maxBucket²/2 pairs on
     *     one reducer instead of an unbounded quadratic blow-up. The cap is
@@ -94,18 +94,41 @@ object DedupOps {
   def minhashNearDuplicates(docs: DataFrame, text: Column, id: Column,
                             n: Int = 3, k: Int = 32, bands: Int = 8,
                             threshold: Double = 0.5,
-                            maxBucket: Int = 1000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val reps = docs.groupBy(text.as("text")).agg(min(id).as("doc_id"))
+                            maxBucket: Int = 1000): DataFrame =
+    minhashNearDuplicatesWithStats(docs, text, id, n, k, bands, threshold, maxBucket)._1
 
-    // materialize band rows once: both sides of the self-join read the
-    // cached copy instead of recomputing signatures
-    val b = lshBands(reps, col("text"), col("doc_id"), n, k, bands)
+  /** [[minhashNearDuplicates]] plus the cap-drop side-output: the second
+    * DataFrame has one row per (band, band_hash) bucket that overflowed
+    * `maxBucket`, with the count of band rows dropped — so a capped
+    * degenerate bucket is observable, never silent. Sum `dropped_docs`
+    * (or count rows) before trusting a "near-dup-free" verdict at scale.
+    */
+  def minhashNearDuplicatesWithStats(docs: DataFrame, text: Column, id: Column,
+                                     n: Int = 3, k: Int = 32, bands: Int = 8,
+                                     threshold: Double = 0.5,
+                                     maxBucket: Int = 1000): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    // exact-dup collapse keyed by sha256 (fixed-width uniform shuffle key —
+    // grouping by raw text would shuffle-compare arbitrary-length strings at
+    // 100 TB); cached because BOTH the band rows and the verification
+    // shingle sets read it
+    val reps = docs.groupBy(sha2(text, 256).as("text_sha"))
+      .agg(min(id).as("doc_id"), first(text).as("text"))
+      .select(col("doc_id"), col("text"))
+      .cache()
+
+    // materialize band rows (with their in-bucket rank) once: the kept
+    // side of the self-join, the other side, and the cap-drop stats all
+    // read the cached copy instead of recomputing signatures
+    val banded = lshBands(reps, col("text"), col("doc_id"), n, k, bands)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("band"), col("band_hash")).orderBy(col("doc_id"))))
-      .filter(col("rn") <= maxBucket)
-      .drop("rn")
       .cache()
+    val b = banded.filter(col("rn") <= maxBucket).drop("rn")
+    val capDrops = banded.filter(col("rn") > maxBucket)
+      .groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("dropped_docs"))
+
     val pairs = b.as("l").join(b.as("r"),
         col("l.band") === col("r.band") &&
         col("l.band_hash") === col("r.band_hash") &&
@@ -117,7 +140,7 @@ object DedupOps {
       .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
       .select(col("doc_id"), TextOps.shinglesOfWords(col("ws"), n).as("sg"))
       .select(col("doc_id"), array_distinct(col("sg")).as("sh"))
-    pairs
+    val verified = pairs
       .join(shingleSets.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
       .join(shingleSets.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
       .withColumn("jaccard",
@@ -125,6 +148,23 @@ object DedupOps {
           greatest(size(array_union(col("sh_a"), col("sh_b"))).cast("double"), lit(1.0)))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    (verified, capDrops)
+  }
+
+  /** rep ↔ duplicate pairs from the exact-duplicate collapse, jaccard 1.0 —
+    * the companion output to [[minhashNearDuplicates]] (which reports
+    * near-dups between REPRESENTATIVES only: pairs involving non-rep exact
+    * duplicates are intentionally collapsed out of it). A caller deleting
+    * duplicates takes `minhashNearDuplicates ∪ exactDuplicatePairs` —
+    * union'ing here by default would break the published pair semantics
+    * (and the oracle), so the mapping is its own op.
+    */
+  def exactDuplicatePairs(docs: DataFrame, text: Column, id: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(sha2(text, 256).as("text_sha"), id.as("doc_id"))
+      .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("text_sha"))))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"), lit(1.0).as("jaccard"))
   }
 
   /** 60-bit SimHash over the word multiset: bit b of the result is the

@@ -119,30 +119,43 @@ object SimilarityOps {
     */
   def embeddingNearDuplicates(vectors: DataFrame, emb: Column, id: Column,
                               threshold: Double, planes: Int = 4,
-                              maxBucket: Int = 10000): DataFrame = {
+                              maxBucket: Int = 10000): DataFrame =
+    embeddingNearDuplicatesWithStats(vectors, emb, id, threshold, planes, maxBucket)._1
+
+  /** [[embeddingNearDuplicates]] plus the cap-drop side-output: one row per
+    * overflowed SRP bucket with the count of vectors dropped by `maxBucket`
+    * — a capped degenerate bucket is observable, never silent.
+    */
+  def embeddingNearDuplicatesWithStats(vectors: DataFrame, emb: Column, id: Column,
+                                       threshold: Double, planes: Int = 4,
+                                       maxBucket: Int = 10000): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val embD = transform(emb, x => x.cast("double"))
     val norm = sqrt(aggregate(transform(embD, x => x * x), lit(0.0), (acc, x) => acc + x))
     // norm is precomputed per VECTOR (not per pair): the verify join's cost
     // is pairs × dot-product; folding each side's norm into the bucketed
-    // rows removes two of the three per-pair array aggregations
-    val coded = vectors
+    // rows removes two of the three per-pair array aggregations. Cached:
+    // both join sides and the cap-drop stats read it.
+    val ranked = vectors
       .filter(norm > 1e-9)
       .select(id.as("vec_id"), emb.as("emb"), srpCode(emb, planes).as("bucket"),
         norm.as("norm"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("bucket")).orderBy(col("vec_id"))))
-      .filter(col("rn") <= maxBucket)
-      .drop("rn")
+      .cache()
+    val coded = ranked.filter(col("rn") <= maxBucket).drop("rn")
+    val capDrops = ranked.filter(col("rn") > maxBucket)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("dropped_vectors"))
     val dot = aggregate(
       zip_with(transform(col("l.emb"), x => x.cast("double")),
         transform(col("r.emb"), x => x.cast("double")), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
-    coded.as("l").join(coded.as("r"),
+    val pairs = coded.as("l").join(coded.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
         round(dot / (col("l.norm") * col("r.norm")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
+    (pairs, capDrops)
   }
 
   /** Cosine between two embedding columns (double precision, left-to-right

@@ -231,7 +231,7 @@ final class Canonicalizer(algorithm: String = "URDNA2015",
       while (perm.hasNext) {
         permutationBudget -= 1
         if (permutationBudget < 0)
-          throw JsonLdError(JsonLdError.UnknownError,
+          throw JsonLdError(JsonLdError.CanonicalizationBudgetExceeded,
             s"canonicalization permutation budget exceeded ($maxPermutations)")
         val permutation = perm.next()
         var issuerCopy = issuer.cloneIssuer()

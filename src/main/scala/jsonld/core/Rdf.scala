@@ -66,6 +66,13 @@ object Rdf {
       */
     var skippedRelative: Long = 0L
 
+    /** Quads excluded because the predicate is a blank node and
+      * `produceGeneralizedRdf` is off — a generalized-RDF exclusion, its
+      * own counter so loss metrics attribute the actual cause instead of
+      * over-counting relative-IRI skips.
+      */
+    var skippedGeneralized: Long = 0L
+
     /** prefix → namespace IRI, populated by toRDF under `useNamespaces`
       * (consumed by prefix-printing serializers).
       */

@@ -49,7 +49,7 @@ object ToRdf {
           } else if (isKeyword(property)) {
             // skip
           } else if (property.startsWith("_:") && !produceGeneralizedRdf) {
-            ds.skippedRelative += node(property).asInstanceOf[JArr].size
+            ds.skippedGeneralized += node(property).asInstanceOf[JArr].size
           } else if (isRelativeIri(property)) {
             ds.skippedRelative += node(property).asInstanceOf[JArr].size
           } else {

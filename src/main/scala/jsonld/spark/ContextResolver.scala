@@ -37,19 +37,27 @@ object ContextResolver {
 
   /** Remote-context URL extraction from one parsed JSON-LD document: every
     * string value of an `@context` key (directly or inside an array),
-    * recursively — scoped contexts in term definitions included.
+    * recursively — scoped contexts in term definitions included — plus the
+    * string value of any `@import` key inside an inline context (JSON-LD
+    * 1.1 §4.1.10: `@import` loads another remote context into the current
+    * one, so the closure must chase it exactly like a remote `@context`;
+    * executor-side expansion resolves it against the same broadcast cache,
+    * Context.scala @import handling).
     */
   def contextUrlsOf(doc: Any): Seq[String] = {
     val out = mutable.ArrayBuffer.empty[String]
     def fromContextValue(v: Any): Unit = v match {
       case s: String if s.startsWith("http://") || s.startsWith("https://") => out += s
       case arr: Json.JArr @unchecked => arr.foreach(fromContextValue)
-      case m: Json.JObj @unchecked => m.values.foreach(walk) // inline ctx may scope further
+      case m: Json.JObj @unchecked => // inline ctx: harvest @import, scope further
+        m.foreach { case (k, v2) => if (k == "@import") fromContextValue(v2) else walk(v2) }
       case _ =>
     }
     def walk(node: Any): Unit = node match {
       case m: Json.JObj @unchecked =>
-        m.foreach { case (k, v) => if (k == "@context") fromContextValue(v) else walk(v) }
+        m.foreach { case (k, v) =>
+          if (k == "@context" || k == "@import") fromContextValue(v) else walk(v)
+        }
       case arr: Json.JArr @unchecked => arr.foreach(walk)
       case _ =>
     }

@@ -112,7 +112,8 @@ object Pipeline extends Serializable {
           val dataset = ToRdf.toRdf(expanded, opts)
           // observable data loss: validity-filtered quads AND spec-mandated
           // relative-IRI skips (both silent in the reference)
-          counters.quadsDropped.add(dataset.droppedQuads + dataset.skippedRelative)
+          counters.quadsDropped.add(
+            dataset.droppedQuads + dataset.skippedRelative + dataset.skippedGeneralized)
           val quads: Seq[(String, Quad)] =
             if (canonicalize)
               new Canonicalizer("URDNA2015", maxPermutations).canonicalQuads(dataset)
@@ -293,7 +294,16 @@ object Pipeline extends Serializable {
         private val QhIdx = 8 // trailing qh column
         // rows share a mutable buffer → copy anything retained (one flat
         // byte-array copy per row; no boxing, no string decode)
-        private var pending: InternalRow = if (rows.hasNext) rows.next().copy() else null
+        private var pending: InternalRow = if (rows.hasNext) {
+          val first = rows.next()
+          // the run-dedup below relies on == being BYTE equality, which only
+          // UnsafeRow provides (GenericInternalRow == is reference equality —
+          // duplicates would silently pass). Fail fast if a plan change ever
+          // stops toRdd yielding UnsafeRows.
+          require(first.isInstanceOf[org.apache.spark.sql.catalyst.expressions.UnsafeRow],
+            s"dedupForWrite requires UnsafeRow partitions, got ${first.getClass.getName}")
+          first.copy()
+        } else null
         private val out = scala.collection.mutable.Queue.empty[InternalRow]
         private def refill(): Unit = if (out.isEmpty && pending != null) {
           // collect the full run of hash-equal rows starting at `pending`,

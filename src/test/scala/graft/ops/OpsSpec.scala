@@ -89,6 +89,50 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped.count() == 0)
   }
 
+  test("minhash cap drops are reported, never silent (WithStats side-output)") {
+    val sp = spark; import sp.implicits._
+    // 6 distinct texts that tokenize identically (case/punct variants) →
+    // 6 reps, all landing in the SAME bucket of every band
+    val ws = (0 until 30).map(i => s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}word")
+    val variants = Seq(" ", ", ", " - ", "  ", " ~ ", " ! ")
+    val docs = variants.zipWithIndex.map { case (sep, i) =>
+      ((i + 1).toLong, ws.mkString(sep) + (if (i % 2 == 0) "" else "."))
+    }.toDF("doc_id", "text")
+    val bands = 8
+    val (pairs, drops) = DedupOps.minhashNearDuplicatesWithStats(
+      docs, col("text"), col("doc_id"), bands = bands, threshold = 0.5, maxBucket = 2)
+    // cap 2 → 4 of the 6 band rows dropped in each of the 8 band buckets
+    val dropRows = drops.collect()
+    assert(dropRows.map(_.getAs[Long]("dropped_docs")).sum == 4L * bands,
+      s"expected ${4 * bands} dropped band rows: ${dropRows.toSeq}")
+    // kept docs (1,2) still pair up — the cap trims, it doesn't zero out
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+    // and with a roomy cap the side-output is empty
+    val (_, noDrops) = DedupOps.minhashNearDuplicatesWithStats(
+      docs, col("text"), col("doc_id"), threshold = 0.5, maxBucket = 100)
+    assert(noDrops.count() == 0)
+  }
+
+  test("embedding cap drops are reported, never silent (WithStats side-output)") {
+    val sp = spark; import sp.implicits._
+    // 5 near-identical vectors → one SRP bucket; cap 2 → 3 dropped
+    val vecs = (1 to 5).map(i => (i.toLong, Array(1f, 0.001f * i, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val (pairs, drops) = SimilarityOps.embeddingNearDuplicatesWithStats(
+      vecs, col("embedding"), col("vec_id"), threshold = 0.9, planes = 2, maxBucket = 2)
+    assert(drops.collect().map(_.getAs[Long]("dropped_vectors")).sum == 3L)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+  }
+
+  test("exactDuplicatePairs recovers the dup→rep mapping the LSH collapse hides") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "aa bb cc"), (4L, "aa bb cc"), (2L, "aa bb cc"),
+      (3L, "unrelated words here")).toDF("doc_id", "text")
+    val got = DedupOps.exactDuplicatePairs(docs, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 1.0), (1L, 4L, 1.0)))
+  }
+
   test("embeddingNearDuplicates: no false positives vs brute force; cosines correct") {
     val sp = spark; import sp.implicits._
     val vecs = Seq(

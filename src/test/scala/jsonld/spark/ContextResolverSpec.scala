@@ -72,6 +72,43 @@ class ContextResolverSpec extends AnyFunSuite with BeforeAndAfterAll {
       errs(0).errorCode == JsonLdError.LoadingDocumentFailed, errs(0).errorCode)
   }
 
+  test("@import chains are harvested and resolved into the closure") {
+    val ctxI = "http://ctx.example/imports.jsonld"     // 1.1 ctx that @imports base
+    val ctxBase = "http://ctx.example/base.jsonld"
+
+    // doc 7 references ctxI remotely; doc 8 carries the @import directly in
+    // its inline context — both routes must put ctxBase in the closure
+    val docs = spark.createDataset(Seq(
+      doc(7, s""""$ctxI""""),
+      doc(8, s"""{"@version": 1.1, "@import": "$ctxBase", "name": "http://ex.org/nameInline"}""")
+    ))(Encoders.product[DetectedDoc])
+
+    assert(ContextResolver.collectContextUrls(docs).collect().toSet == Set(ctxI, ctxBase),
+      "inline @import URL must be harvested")
+
+    val dir = Files.createTempDirectory("ctxi")
+    Files.writeString(dir.resolve("imports.jsonld"),
+      s"""{"@context": {"@version": 1.1, "@import": "$ctxBase", "name": "http://ex.org/nameI"}}""")
+    Files.writeString(dir.resolve("base.jsonld"),
+      """{"@context": {"age": "http://ex.org/age"}}""")
+    val loader = new FileDocumentLoader(url =>
+      if (url == ctxI) Some(dir.resolve("imports.jsonld").toString)
+      else if (url == ctxBase) Some(dir.resolve("base.jsonld").toString)
+      else None)
+
+    val (cache, failed) = ContextResolver.buildCache(spark, docs, loader)
+    assert(cache.value.keySet == Set(ctxI, ctxBase), "@import target must reach the closure")
+    assert(failed.isEmpty, failed)
+
+    // end-to-end: both docs expand against the broadcast cache, nothing quarantines
+    val counters = Pipeline.newCounters(spark)
+    val pipe = Pipeline.transformStage(docs, cache, counters)
+    val quads = Pipeline.quads(pipe).collect()
+    assert(quads.exists(q => q.docId == "d7" && q.pred == "http://ex.org/nameI"))
+    assert(quads.exists(q => q.docId == "d8" && q.pred == "http://ex.org/nameInline"))
+    assert(Pipeline.quarantine(pipe).count() == 0)
+  }
+
   test("resolveClosure bounds adversarial context chains") {
     // every fetch returns a context pointing at a fresh URL — must stop at maxDocs
     val loader = new DocumentLoader {

@@ -157,6 +157,41 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set(("bad-json", "invalid input"), ("bad-keyword", "invalid value object")))
   }
 
+  test("canonicalization budget quarantines an adversarial bnode clique in bounded time") {
+    // a fully-connected blank-node clique: every node's first-degree hash is
+    // identical, so URDNA2015's hash-n-degree step faces factorial
+    // permutations — without a budget this stalls an executor for hours; the
+    // budget must route the DOCUMENT to quarantine and keep the job alive
+    val n = 10
+    val nodes = (0 until n).map { i =>
+      val others = (0 until n).filter(_ != i).map(j => s"""{"@id": "_:b$j"}""").mkString(",")
+      s"""{"@id": "_:b$i", "http://ex.org/p": [$others]}"""
+    }.mkString(",")
+    val clique = s"""{"@graph": [$nodes]}"""
+
+    val counters = Pipeline.newCounters(spark)
+    val ctxCache = spark.sparkContext.broadcast(Map.empty[String, String])
+    val rows = Seq(
+      DetectedDoc("adversarial", "r", "evil.jsonld", "c", 0, "graft://r/evil", clique, "x"),
+      DetectedDoc("good", "r", "ok.jsonld", "c", 0, "graft://r/ok",
+        """{"@id": "http://ex.org/s", "http://ex.org/p": "v"}""", "x"))
+    val t0 = System.nanoTime()
+    val pipe = Pipeline.transformStage(
+      spark.createDataset(rows)(org.apache.spark.sql.Encoders.product[DetectedDoc]),
+      ctxCache, counters, maxPermutations = 500L)
+    val quads = Pipeline.quads(pipe).collect()
+    val errs = Pipeline.quarantine(pipe).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 60.0, f"budget did not bound the clique: $secs%.1f s")
+    assert(quads.map(_.docId).toSet == Set("good"), "healthy doc must still emit")
+    assert(errs.map(e => (e.docId, e.errorCode)).toSeq ==
+      Seq(("adversarial", JsonLdError.CanonicalizationBudgetExceeded)), errs.toSeq)
+    // >=1, not ==1: the two collects above each re-run the transform, and
+    // accumulators in transformations re-count per action (same reason the
+    // bench counts the written table, not the accumulator)
+    assert(counters.docsFailed.value >= 1L)
+  }
+
   test("lineage rows aggregate per partition") {
         val counters = Pipeline.newCounters(spark)
     val ctxCache = spark.sparkContext.broadcast(Map.empty[String, String])
