@@ -47,8 +47,13 @@ object PortableHash {
   def h60(s: String): Long = h60(s.getBytes("UTF-8"))
 
   def h60(bytes: Array[Byte]): Long = {
+    // first 15 hex chars of the md5 = top 60 bits of the first 8 digest
+    // bytes — read them numerically, no hex-string round-trip (the same
+    // allocation pattern eliminated from the executor hot paths)
     val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-    val hex = d.map(b => f"$b%02x").mkString.substring(0, 15)
-    java.lang.Long.parseLong(hex, 16)
+    var acc = 0L
+    var i = 0
+    while (i < 8) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    acc >>> 4 // 64 bits read, keep the leading 60 (15 hex chars)
   }
 }

@@ -81,9 +81,16 @@ object SimilarityOps {
 
   /** Bucketed ANN: probe only vectors sharing the query's SRP bucket,
     * then exact cosine within the bucket. Recall/latency knob = planes.
+    *
+    * `multiProbe` additionally probes every hamming-1 neighbor bucket
+    * (planes+1 probes total): near neighbors split off by a single
+    * hyperplane are recovered, so `planes` can grow (smaller buckets →
+    * less scan) without the single-probe recall cliff. Still a narrow
+    * filter — probe codes are a tiny IN-list, no join shape change.
     */
   def lshTopK(vectors: DataFrame, emb: Column, id: Column,
-              query: Seq[Double], k: Int, planes: Int = 8): DataFrame = {
+              query: Seq[Double], k: Int, planes: Int = 8,
+              multiProbe: Boolean = false): DataFrame = {
     val coded = vectors.select(id.as("vec_id"), emb.as("emb"),
       srpCode(emb, planes).as("bucket"))
     // query bucket computed the same way, driver-side
@@ -95,7 +102,10 @@ object SimilarityOps {
       if (dot >= 0) 1L << p else 0L
     }
     val queryBucket = queryBits.reduce(_ | _)
-    coded.filter(col("bucket") === queryBucket)
+    val probes: Seq[Long] =
+      if (multiProbe) queryBucket +: (0 until planes).map(p => queryBucket ^ (1L << p))
+      else Seq(queryBucket)
+    coded.filter(col("bucket").isin(probes: _*))
       .select(col("vec_id"), round(cosineToQuery(col("emb"), query), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
@@ -119,16 +129,27 @@ object SimilarityOps {
     */
   def embeddingNearDuplicates(vectors: DataFrame, emb: Column, id: Column,
                               threshold: Double, planes: Int = 4,
-                              maxBucket: Int = 10000): DataFrame =
-    embeddingNearDuplicatesWithStats(vectors, emb, id, threshold, planes, maxBucket)._1
+                              maxBucket: Int = 10000,
+                              multiProbe: Boolean = false): DataFrame =
+    embeddingNearDuplicatesWithStats(vectors, emb, id, threshold, planes, maxBucket,
+      multiProbe)._1
 
   /** [[embeddingNearDuplicates]] plus the cap-drop side-output: one row per
     * overflowed SRP bucket with the count of vectors dropped by `maxBucket`
     * — a capped degenerate bucket is observable, never silent.
+    *
+    * `multiProbe` recovers pairs split by a single hyperplane: the LEFT
+    * side explodes into its bucket plus all `planes` hamming-1 codes and
+    * the join matches probe = right.bucket — each hamming-≤1 pair matches
+    * exactly once (identity probe for same-bucket pairs, the one flipped
+    * bit otherwise), so the equi-join shape and pair uniqueness both hold.
+    * Cost: candidate fan-out ×(planes+1) on one side — the price of recall
+    * at high `planes`, still never all-pairs.
     */
   def embeddingNearDuplicatesWithStats(vectors: DataFrame, emb: Column, id: Column,
                                        threshold: Double, planes: Int = 4,
-                                       maxBucket: Int = 10000): (DataFrame, DataFrame) = {
+                                       maxBucket: Int = 10000,
+                                       multiProbe: Boolean = false): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val embD = transform(emb, x => x.cast("double"))
     val norm = sqrt(aggregate(transform(embD, x => x * x), lit(0.0), (acc, x) => acc + x))
@@ -150,8 +171,15 @@ object SimilarityOps {
       zip_with(transform(col("l.emb"), x => x.cast("double")),
         transform(col("r.emb"), x => x.cast("double")), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
-    val pairs = coded.as("l").join(coded.as("r"),
-        col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
+    val (left, joinKey) =
+      if (multiProbe) {
+        val probeCodes = array((col("bucket") +:
+          (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))): _*)
+        (coded.withColumn("probe", explode(probeCodes)),
+          col("l.probe") === col("r.bucket"))
+      } else (coded, col("l.bucket") === col("r.bucket"))
+    val pairs = left.as("l").join(coded.as("r"),
+        joinKey && col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
         round(dot / (col("l.norm") * col("r.norm")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)

@@ -58,4 +58,34 @@ object CorpusIO {
     }
     spark.read.parquet(dir)
   }
+
+  /** Materialize the final triple table, format-dispatched on the target:
+    *
+    *  - a PATH (contains `/`) → partitioned parquet on the `predBucket`
+    *    column the dedup stage computed (the layout Iceberg's
+    *    `bucket(pred)` produces, emulated on plain files);
+    *  - a catalog TABLE NAME → Iceberg DataFrameWriterV2 with native
+    *    `bucket(buckets, pred)` partitioning — the real 100 TB sink
+    *    (snapshot isolation, compaction, hidden partitioning). Requires
+    *    the Iceberg runtime jar + catalog conf; absent (this sandbox is
+    *    offline, /opt/spark/jars carries no Iceberg), the branch refuses
+    *    with a clear error instead of mis-writing a relative parquet dir.
+    *
+    * `df` must carry `predBucket` (see Pipeline.dedupForWrite); the
+    * iceberg branch drops it — the bucket transform supersedes it.
+    */
+  def writeTriples(df: DataFrame, target: String, buckets: Int = 64): Unit =
+    if (!target.contains("/")) {
+      if (!icebergAvailable)
+        throw new IllegalStateException(
+          s"table target '$target' needs the Iceberg runtime jar on the classpath " +
+            "(org.apache.iceberg.spark.source.IcebergSource not found); " +
+            "pass a path for the parquet branch")
+      df.drop("predBucket")
+        .writeTo(target)
+        .partitionedBy(org.apache.spark.sql.functions.bucket(buckets, df("pred")))
+        .using("iceberg")
+        .createOrReplace()
+    } else
+      df.write.mode("overwrite").partitionBy("predBucket").parquet(target)
 }

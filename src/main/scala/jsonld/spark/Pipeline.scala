@@ -327,9 +327,10 @@ object Pipeline extends Serializable {
     }).drop("qh")
   }
 
-  def dedupAndWritePartitioned(q: Dataset[QuadRow], outDir: String, buckets: Int = 64): Unit =
-    dedupForWrite(q, buckets)
-      .write.mode("overwrite")
-      .partitionBy("predBucket")
-      .parquet(outDir)
+  /** Fused dedup + materialize. `target` dispatches the sink format
+    * (path → partitioned parquet; catalog table → Iceberg with native
+    * bucket(pred) partitioning) — see [[CorpusIO.writeTriples]].
+    */
+  def dedupAndWritePartitioned(q: Dataset[QuadRow], target: String, buckets: Int = 64): Unit =
+    CorpusIO.writeTriples(dedupForWrite(q, buckets), target, buckets)
 }

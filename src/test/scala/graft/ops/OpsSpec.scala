@@ -152,6 +152,45 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(p => (p._1, p._2)).contains((1L, 2L)), s"missed near-dup: ${got.toSeq}")
   }
 
+  test("multi-probe recovers hamming-1 near-dup pairs that single-probe misses at planes=12") {
+    val sp = spark; import sp.implicits._
+    val planes = 12
+    // deterministic hyperplanes → find a planted pair of high-cosine vectors
+    // whose SRP codes differ in exactly ONE bit (split by one hyperplane)
+    val family = (1 to 60).map(i => (i.toLong, Array(1f, i * 0.01f, 0.3f, 0f)))
+    val codes = family.toDF("vec_id", "embedding")
+      .select(col("vec_id"), SimilarityOps.srpCode(col("embedding"), planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val planted = (for {
+      (ia, va) <- family; (ib, vb) <- family
+      if ia < ib && java.lang.Long.bitCount(codes(ia) ^ codes(ib)) == 1 &&
+        cosine(va, vb) >= 0.99
+    } yield (ia, ib, va, vb)).headOption
+    assert(planted.nonEmpty, "test family produced no hamming-1 high-cosine pair; widen the grid")
+    val (ia, ib, va, vb) = planted.get
+
+    val two = Seq((ia, va), (ib, vb)).toDF("vec_id", "embedding")
+    val single = SimilarityOps.embeddingNearDuplicates(
+      two, col("embedding"), col("vec_id"), threshold = 0.9, planes = planes)
+    assert(single.count() == 0, "single-probe unexpectedly found the split pair")
+    val multi = SimilarityOps.embeddingNearDuplicates(
+      two, col("embedding"), col("vec_id"), threshold = 0.9, planes = planes,
+      multiProbe = true)
+    assert(multi.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((ia, ib)),
+      "multi-probe must recover the hamming-1 pair exactly once")
+
+    // and lshTopK: a query equal to va must find vb only with multiProbe
+    val q = va.map(_.toDouble).toSeq
+    val oneVec = Seq((ib, vb)).toDF("vec_id", "embedding")
+    assert(SimilarityOps.lshTopK(oneVec, col("embedding"), col("vec_id"), q, 5, planes).count() == 0)
+    assert(SimilarityOps.lshTopK(oneVec, col("embedding"), col("vec_id"), q, 5, planes,
+      multiProbe = true).collect().map(_.getLong(0)).toSeq == Seq(ib))
+  }
+
   test("multimodal decode stub is the portable hash contract end-to-end") {
     val sp = spark; import sp.implicits._
     val payload = "some media bytes".getBytes("UTF-8")

@@ -83,6 +83,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"dedup not hash-aggregated:\n$p")
   }
 
+  test("ann_cosine_topk is a scan + TakeOrdered — top-k without a global sort shuffle") {
+    val p = plan(SparkEntry.queries("ann_cosine_topk")(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"brute-force top-k not planned as TakeOrdered:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort crept in:\n$p")
+  }
+
+  test("dedup_exact aggregates partially (map-side combine) before its shuffle") {
+    val p = plan(SparkEntry.queries("dedup_exact")(spark, sfDir))
+    assert(p.contains("HashAggregate") && p.contains("partial"),
+      s"exact dedup missing partial hash-aggregate:\n$p")
+  }
+
+  test("minhash collapse runs once: both band rows and shingle sets reuse the cached reps") {
+    // reps (the sha256-keyed exact-dup collapse) is cached and read by TWO
+    // consumers; without the cache the groupBy shuffle would run twice
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.ops.DedupOps.minhashNearDuplicates(docs, col("text"), col("doc_id"))
+    val p = plan(df)
+    val imr = "InMemoryTableScan".r.findAllIn(p).size
+    assert(imr >= 3, s"expected cached reps + banded reuse (>=3 InMemoryTableScans), got $imr:\n$p")
+    df.unpersist // no-op on a derived frame; caches are dropped in afterAll via spark.stop
+  }
+
   test("fused dedup+materialize plans exactly ONE exchange") {
     import org.apache.spark.sql.Encoders
     val rows = (0 until 10).map(i =>

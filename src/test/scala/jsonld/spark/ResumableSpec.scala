@@ -49,4 +49,27 @@ class ResumableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graph.count() == n1)
     assert(graph.columns.contains("predBucket"))
   }
+
+  test("writeTriples dispatches on target: parquet branch runs, iceberg branch refuses cleanly here") {
+    val rows = (0 until 12).map(i =>
+      QuadRow(s"d$i", s"http://ex.org/s$i", s"http://ex.org/p${i % 3}", s"o$i",
+        QuadRow.KindIri, "", "", ""))
+    val q = spark.createDataset(rows)(Encoders.product[QuadRow])
+
+    // parquet branch (path target): partitioned by predBucket, readable back
+    val dir = Files.createTempDirectory("graft-triples").toString
+    Pipeline.dedupAndWritePartitioned(q, s"$dir/graph", buckets = 8)
+    val back = spark.read.parquet(s"$dir/graph")
+    assert(back.count() == 12)
+    assert(back.columns.contains("predBucket"))
+
+    // iceberg branch: no runtime jar in this sandbox — the dispatcher must
+    // refuse the table target with a clear error, not write a bogus
+    // relative path or NPE inside DataFrameWriterV2
+    assert(!CorpusIO.icebergAvailable, "sandbox unexpectedly has iceberg — update this test")
+    val err = intercept[IllegalStateException] {
+      Pipeline.dedupAndWritePartitioned(q, "graft_catalog.kg.triples", buckets = 8)
+    }
+    assert(err.getMessage.contains("Iceberg runtime"), err.getMessage)
+  }
 }
