@@ -169,6 +169,54 @@ class ContextResolverSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop(0)
   }
 
+  test("CachingHttpDocumentLoader honors RFC 7234 freshness (loopback)") {
+    import com.sun.net.httpserver.{HttpServer, HttpExchange, HttpHandler}
+    import java.util.concurrent.atomic.AtomicInteger
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = scala.collection.concurrent.TrieMap.empty[String, AtomicInteger]
+    def serve(path: String, body: String, headers: (String, String)*): Unit =
+      server.createContext(path, new HttpHandler {
+        def handle(ex: HttpExchange): Unit = {
+          hits.getOrElseUpdate(path, new AtomicInteger).incrementAndGet()
+          headers.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }
+          ex.getResponseHeaders.add("Content-Type", "application/ld+json")
+          val b = body.getBytes("UTF-8")
+          ex.sendResponseHeaders(200, b.length)
+          ex.getResponseBody.write(b); ex.close()
+        }
+      })
+    try {
+      server.start()
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val ctx = """{"@context": {"name": "http://ex.org/n"}}"""
+      serve("/fresh.jsonld", ctx, "Cache-Control" -> "max-age=3600")
+      serve("/nostore.jsonld", ctx, "Cache-Control" -> "no-store")
+      serve("/heuristic.jsonld", ctx) // no freshness info → never cached
+      serve("/expires.jsonld", ctx,
+        "Expires" -> java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME
+          .format(java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC).plusHours(1)))
+
+      // controllable clock: starts now, can be advanced past max-age
+      var nowOffset = 0L
+      val loader = new CachingHttpDocumentLoader(
+        clock = () => java.time.Instant.now().plusSeconds(nowOffset))
+
+      (1 to 3).foreach(_ => loader.loadDocument(s"$base/fresh.jsonld"))
+      assert(hits("/fresh.jsonld").get() == 1, "max-age response must be served from cache")
+      (1 to 3).foreach(_ => loader.loadDocument(s"$base/expires.jsonld"))
+      assert(hits("/expires.jsonld").get() == 1, "Expires response must be served from cache")
+      (1 to 2).foreach(_ => loader.loadDocument(s"$base/nostore.jsonld"))
+      assert(hits("/nostore.jsonld").get() == 2, "no-store must never be cached")
+      (1 to 2).foreach(_ => loader.loadDocument(s"$base/heuristic.jsonld"))
+      assert(hits("/heuristic.jsonld").get() == 2, "no explicit freshness → no heuristic caching")
+
+      // advancing the clock past max-age must refetch
+      nowOffset = 4000
+      loader.loadDocument(s"$base/fresh.jsonld")
+      assert(hits("/fresh.jsonld").get() == 2, "stale entry must revalidate via refetch")
+    } finally server.stop(0)
+  }
+
   test("resolveClosure bounds adversarial context chains") {
     // every fetch returns a context pointing at a fresh URL — must stop at maxDocs
     val loader = new DocumentLoader {
