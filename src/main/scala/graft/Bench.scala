@@ -91,6 +91,13 @@ object Bench {
     // dedups spill where 64-way ones don't
     .config("spark.sql.shuffle.partitions", "64")
     .config("spark.sql.adaptive.enabled", "true")
+    // task-side commit (FileOutputCommitter v2): v1's DRIVER-side serial
+    // rename of O(tasks × partition-dirs) output files is a fixed serial
+    // cost that suppresses measured scaling (it doesn't shrink with more
+    // executors); production at 100 TB uses task-parallel or zero-rename
+    // committers (v2, S3A magic, Iceberg snapshot commit) for exactly this
+    // reason
+    .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     // small split target: the synthetic corpus is a few hundred MB; with
     // the default 128 MB the scan would open too few partitions to use
     // all cores (a real 100 TB corpus has no such problem)

@@ -9,21 +9,25 @@ import jsonld.spark._
   * what a production run broadcasts; documents referencing a failed URL
   * quarantine at transform time instead of killing the job.
   *
-  * Usage: runMain graft.ResolveContexts <sfDir> <outDir> [urlMapTsv]
+  * Usage: runMain graft.ResolveContexts <sfDir> <outDir> [urlMapTsv|--http]
   *   urlMapTsv: optional "url<TAB>localPath" lines — the zero-egress
   *   stand-in for an HTTP fetch (vendored context sets work the same way
   *   in production).
+  *   --http: resolve over real HTTP with the RFC 7234 caching loader
+  *   (jsonld.core.CachingHttpDocumentLoader) — for deployments with
+  *   egress; never the default (this sandbox has none).
   */
 object ResolveContexts {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
+    val useHttp = args.lift(2).contains("--http")
     val mapping: Map[String, String] = args.lift(2) match {
-      case Some(tsv) =>
+      case Some(tsv) if !useHttp =>
         scala.io.Source.fromFile(tsv).getLines().filter(_.contains("\t")).map { l =>
           val Array(u, p) = l.split("\t", 2); (u, p)
         }.toMap
-      case None => Map.empty
+      case _ => Map.empty
     }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
@@ -41,7 +45,9 @@ object ResolveContexts {
       else Corpus.corpusFlat(spark, sfDir)
     val counters = Pipeline.newCounters(spark)
     val docs = Pipeline.detectStage(corpus, counters)
-    val loader = new FileDocumentLoader(mapping.get)
+    val loader: jsonld.core.DocumentLoader =
+      if (useHttp) new jsonld.core.CachingHttpDocumentLoader()
+      else new FileDocumentLoader(mapping.get)
     val (cache, failed) = ContextResolver.buildCache(spark, docs, loader)
 
     val out = java.nio.file.Paths.get(outDir)

@@ -206,7 +206,10 @@ object SparkEntry {
   def dedupEmbedCosine(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.embeddingNearDuplicates(
       t(spark, dir, "embeddings"), col("embedding"), col("vec_id"),
-      threshold = 0.35, planes = 4)
+      threshold = 0.35, planes = 4,
+      // fixed-dims corpus → precomputed hyperplanes (bit-identical buckets,
+      // no per-row md5); dims from the known query vector
+      dims = Some(queryVector(spark, dir).size))
       .orderBy("vec_a", "vec_b")
 
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =

@@ -66,7 +66,12 @@ object SimilarityOps {
       s"(CASE WHEN $dot >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  /** Sign-random-projection bucket code over `planes` hyperplanes. */
+  /** Sign-random-projection bucket code over `planes` hyperplanes.
+    * Handles ANY per-row vector length (the plane component is hashed from
+    * the dimension index on the fly) — but that hash costs planes×dims md5
+    * evaluations PER ROW; for fixed-dimension corpora use
+    * [[srpCodeFixedDims]], which is bit-identical and hash-free per row.
+    */
   def srpCode(emb: Column, planes: Int): Column = {
     val embD = transform(emb, x => x.cast("double"))
     val bits = (0 until planes).map { p =>
@@ -78,6 +83,33 @@ object SimilarityOps {
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** [[srpCode]] with the hyperplane components PRECOMPUTED driver-side and
+    * shipped as literal arrays — they depend only on (plane, dim), never on
+    * the row, so evaluating the portable hash per row is pure waste (at 64
+    * dims × 8 planes that's 512 md5 calls per row eliminated; measured as
+    * most of the bucketing cost). Bit-identical to [[srpCode]] for vectors
+    * of exactly `dims` elements: same hash → same component → same
+    * left-to-right double fold → same sign. Vectors of OTHER lengths get a
+    * null dot (zip_with length mismatch) → bit 0; use the dynamic
+    * [[srpCode]] for ragged corpora.
+    */
+  def srpCodeFixedDims(emb: Column, planes: Int, dims: Int): Column = {
+    val embD = transform(emb, x => x.cast("double"))
+    val bits = (0 until planes).map { p =>
+      val plane = array((0 until dims).map(i => lit(planeComponentValue(p, i))): _*)
+      val dot = aggregate(zip_with(embD, plane, (x, c) => x * c),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  private def srpCodeFor(emb: Column, planes: Int, dims: Option[Int]): Column =
+    dims match {
+      case Some(d) => srpCodeFixedDims(emb, planes, d)
+      case None => srpCode(emb, planes)
+    }
 
   /** Bucketed ANN: probe only vectors sharing the query's SRP bucket,
     * then exact cosine within the bucket. Recall/latency knob = planes.
@@ -91,8 +123,10 @@ object SimilarityOps {
   def lshTopK(vectors: DataFrame, emb: Column, id: Column,
               query: Seq[Double], k: Int, planes: Int = 8,
               multiProbe: Boolean = false): DataFrame = {
+    // the query's length IS the corpus dimensionality (vectors of any other
+    // length are incomparable with the query anyway) → precomputed planes
     val coded = vectors.select(id.as("vec_id"), emb.as("emb"),
-      srpCode(emb, planes).as("bucket"))
+      srpCodeFixedDims(emb, planes, query.size).as("bucket"))
     // query bucket computed the same way, driver-side
     val queryBits = (0 until planes).map { p =>
       val dot = query.zipWithIndex.map { case (x, i) =>
@@ -130,9 +164,10 @@ object SimilarityOps {
   def embeddingNearDuplicates(vectors: DataFrame, emb: Column, id: Column,
                               threshold: Double, planes: Int = 4,
                               maxBucket: Int = 10000,
-                              multiProbe: Boolean = false): DataFrame =
+                              multiProbe: Boolean = false,
+                              dims: Option[Int] = None): DataFrame =
     embeddingNearDuplicatesWithStats(vectors, emb, id, threshold, planes, maxBucket,
-      multiProbe)._1
+      multiProbe, dims)._1
 
   /** [[embeddingNearDuplicates]] plus the cap-drop side-output: one row per
     * overflowed SRP bucket with the count of vectors dropped by `maxBucket`
@@ -149,7 +184,8 @@ object SimilarityOps {
   def embeddingNearDuplicatesWithStats(vectors: DataFrame, emb: Column, id: Column,
                                        threshold: Double, planes: Int = 4,
                                        maxBucket: Int = 10000,
-                                       multiProbe: Boolean = false): (DataFrame, DataFrame) = {
+                                       multiProbe: Boolean = false,
+                                       dims: Option[Int] = None): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val embD = transform(emb, x => x.cast("double"))
     val norm = sqrt(aggregate(transform(embD, x => x * x), lit(0.0), (acc, x) => acc + x))
@@ -159,7 +195,7 @@ object SimilarityOps {
     // both join sides and the cap-drop stats read it.
     val ranked = vectors
       .filter(norm > 1e-9)
-      .select(id.as("vec_id"), emb.as("emb"), srpCode(emb, planes).as("bucket"),
+      .select(id.as("vec_id"), emb.as("emb"), srpCodeFor(emb, planes, dims).as("bucket"),
         norm.as("norm"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("bucket")).orderBy(col("vec_id"))))

@@ -152,6 +152,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(p => (p._1, p._2)).contains((1L, 2L)), s"missed near-dup: ${got.toSeq}")
   }
 
+  test("srpCodeFixedDims is bit-identical to the dynamic srpCode") {
+    val sp = spark; import sp.implicits._
+    val vecs = (1 to 50).map(i =>
+      (i.toLong, Array(math.sin(i * 0.7).toFloat, math.cos(i * 1.3).toFloat,
+        (i % 7 - 3) * 0.25f, -0.5f + i * 0.01f)))
+      .toDF("vec_id", "embedding")
+    val both = vecs.select(
+      SimilarityOps.srpCode(col("embedding"), 10).as("dynamic"),
+      SimilarityOps.srpCodeFixedDims(col("embedding"), 10, 4).as("fixed"))
+      .collect()
+    assert(both.forall(r => r.getLong(0) == r.getLong(1)),
+      both.filter(r => r.getLong(0) != r.getLong(1)).take(3).toSeq.toString)
+  }
+
   test("multi-probe recovers hamming-1 near-dup pairs that single-probe misses at planes=12") {
     val sp = spark; import sp.implicits._
     val planes = 12
