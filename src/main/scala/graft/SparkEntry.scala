@@ -158,6 +158,11 @@ object SparkEntry {
         n = 3, k = 32, bands = 8, threshold = 0.2)
       .orderBy("doc_a", "doc_b")
 
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.duplicateClusters(t(spark, dir, "documents"), col("text"), col("doc_id"),
+        n = 3, k = 32, bands = 8, threshold = 0.2)
+      .orderBy("doc_id")
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     DedupOps.simhashBuckets(t(spark, dir, "documents"), col("text"), col("doc_id"))
       .orderBy("doc_id")
@@ -236,6 +241,7 @@ object SparkEntry {
     // dedup family
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_minhash_lsh" -> (dedupMinhash(_, _)),
+    "dedup_clusters" -> (dedupClusters(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_embed_cosine" -> (dedupEmbedCosine(_, _)),
     "neighbor_jaccard" -> (neighborJaccard(_, _)),
@@ -287,6 +293,32 @@ object SparkEntry {
         s"h -> (h * ${ops.DedupOps.affineA(i)} + ${ops.DedupOps.affineB(i)}) % ${ops.DedupOps.MersenneP})) " +
         s"ELSE ${Long.MaxValue} END"
     }.mkString("[", ", ", "]")
+
+  /** Shared CTE chain ending in `v(doc_a, doc_b, j)` — the verified MinHash
+    * near-dup pairs. Used verbatim by the `dedup_minhash_lsh` oracle and
+    * composed under the recursive-reachability oracle of `dedup_clusters`,
+    * so both gates replay the identical signature family.
+    */
+  private lazy val minhashPairCtes: String =
+    s"""reps AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+       |w AS (SELECT doc_id, $wordsSql AS ws FROM reps),
+       |sg AS (SELECT doc_id, list_distinct(${shingles3Sql("ws")}) AS sh FROM w),
+       |bh AS (SELECT doc_id, sh,
+       |    list_transform(sh, s -> ${h60Sql("s")} % ${ops.DedupOps.MersenneP}) AS bh FROM sg),
+       |sig AS (SELECT doc_id, sh, ${minhashSigSql("bh", 32)} AS sig FROM bh),
+       |bands AS (SELECT doc_id, band,
+       |    array_to_string(sig[band * 4 + 1 : band * 4 + 4], ',') AS key
+       |  FROM sig CROSS JOIN range(8) t(band)),
+       |capped AS (SELECT doc_id, band, key,
+       |    row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn FROM bands),
+       |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM capped l JOIN capped r
+       |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+       |  WHERE l.rn <= 1000 AND r.rn <= 1000),
+       |v AS (SELECT doc_a, doc_b,
+       |    len(list_intersect(a.sh, b.sh)) * 1.0 /
+       |      greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS j
+       |  FROM cand JOIN sg a ON a.doc_id = doc_a JOIN sg b ON b.doc_id = doc_b)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "jsonld_pipeline_quads" ->
@@ -460,27 +492,27 @@ object SparkEntry {
     // (the Spark side's xxhash64 band key only compresses the same slice);
     // identical exact-dup collapse, per-bucket cap, and Jaccard verify
     "dedup_minhash_lsh" ->
-      s"""WITH reps AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
-         |w AS (SELECT doc_id, $wordsSql AS ws FROM reps),
-         |sg AS (SELECT doc_id, list_distinct(${shingles3Sql("ws")}) AS sh FROM w),
-         |bh AS (SELECT doc_id, sh,
-         |    list_transform(sh, s -> ${h60Sql("s")} % ${ops.DedupOps.MersenneP}) AS bh FROM sg),
-         |sig AS (SELECT doc_id, sh, ${minhashSigSql("bh", 32)} AS sig FROM bh),
-         |bands AS (SELECT doc_id, band,
-         |    array_to_string(sig[band * 4 + 1 : band * 4 + 4], ',') AS key
-         |  FROM sig CROSS JOIN range(8) t(band)),
-         |capped AS (SELECT doc_id, band, key,
-         |    row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn FROM bands),
-         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-         |  FROM capped l JOIN capped r
-         |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
-         |  WHERE l.rn <= 1000 AND r.rn <= 1000),
-         |v AS (SELECT doc_a, doc_b,
-         |    len(list_intersect(a.sh, b.sh)) * 1.0 /
-         |      greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS j
-         |  FROM cand JOIN sg a ON a.doc_id = doc_a JOIN sg b ON b.doc_id = doc_b)
+      s"""WITH $minhashPairCtes
          |SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM v
          |WHERE j >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
+    // duplicate clusters: min-reachable-id over the undirected graph of
+    // (verified minhash pairs ∪ exact-dup pairs) — the recursive CTE is the
+    // declarative fixpoint the Spark side reaches by min-label propagation
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |mhp AS (SELECT doc_a, doc_b FROM v WHERE j >= 0.2),
+         |exd AS (SELECT min(doc_id) OVER (PARTITION BY text) AS doc_a, doc_id AS doc_b
+         |  FROM documents),
+         |exp AS (SELECT doc_a, doc_b FROM exd WHERE doc_a <> doc_b),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM mhp UNION SELECT doc_b, doc_a FROM mhp
+         |  UNION SELECT doc_a, doc_b FROM exp UNION SELECT doc_b, doc_a FROM exp),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_rep
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     // order-sensitive rolling fingerprint: same h60 chain, folded over a
     // VARCHAR accumulator ('0' start = Spark's lit(0L) cast to string)
     "doc_fingerprint" ->

@@ -196,6 +196,71 @@ object DedupOps {
     docs.select(id.as("doc_id"), simhash60(text).as("simhash"))
       .withColumn("bucket", shiftright(col("simhash"), 16))
 
+  /** Connected components by iterative min-label propagation: each round,
+    * every node takes the minimum label among itself and its neighbors —
+    * the fixpoint labels every node with the smallest node id in its
+    * component. `nodes` must have an `id` column, `edges` columns `a`,`b`
+    * (undirected; symmetrized here).
+    *
+    * Scale shape: each round is one equi-join + one hash aggregate (both
+    * shuffles on the node id — uniform key), and `localCheckpoint` cuts
+    * the lineage so plans don't grow with iterations. Rounds needed =
+    * component diameter; near-dup graphs are short-diameter by
+    * construction (members share LSH buckets), so this converges in a
+    * handful of rounds. Convergence is detected by the monotone label sum
+    * (strictly decreasing until the fixpoint — one cheap aggregate per
+    * round, no extra join); a graph that hasn't converged by
+    * `maxIterations` raises rather than returning silently-wrong labels.
+    * At 10^12 edges swap localCheckpoint for reliable checkpointing and
+    * consider alternating large-star/small-star (halves round count on
+    * high-diameter graphs); the join/agg shape is unchanged.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxIterations: Int = 20): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    var labels = nodes.select(col("id"), col("id").as("component")).localCheckpoint()
+    var prevSum = labels.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val prop = sym.join(labels, sym("a") === labels("id"))
+        .select(col("b").as("id"), col("component"))
+      labels = labels.union(prop)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint()
+      val s = labels.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIterations rounds " +
+          "(adversarially long chain?) — raise maxIterations")
+    labels
+  }
+
+  /** Duplicate clusters: connected components over the union of exact
+    * duplicate pairs and verified MinHash near-dup pairs, labeling EVERY
+    * document with its cluster representative (min doc id; singletons
+    * label themselves). This is the top of the dedup stack: "keep one per
+    * cluster" is `filter(doc_id === cluster_rep)`, and transitive
+    * near-dup chains (a~b, b~c but a!~c) collapse to one representative —
+    * pairwise output alone can't express that.
+    */
+  def duplicateClusters(docs: DataFrame, text: Column, id: Column,
+                        n: Int = 3, k: Int = 32, bands: Int = 8,
+                        threshold: Double = 0.5, maxBucket: Int = 1000,
+                        maxIterations: Int = 20): DataFrame = {
+    val near = minhashNearDuplicates(docs, text, id, n, k, bands, threshold, maxBucket)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val exact = exactDuplicatePairs(docs, text, id)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    connectedComponents(docs.select(id.as("id")), near.union(exact), maxIterations)
+      .select(col("id").as("doc_id"), col("component").as("cluster_rep"))
+  }
+
   /** Exact word-set Jaccard between each doc and its successor — a linear
     * verification-shaped query (oracle-friendly).
     */

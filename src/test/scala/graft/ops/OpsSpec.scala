@@ -124,6 +124,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
   }
 
+  test("connectedComponents labels transitive chains; duplicateClusters tops the dedup stack") {
+    val sp = spark; import sp.implicits._
+    // components: {1,2,3,4} (a chain), {10,11}, {20} (isolated)
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = DedupOps.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+
+    // a long chain must raise (observable non-convergence), not mislabel
+    val chainN = 40
+    val chainNodes = (1L to chainN).toDF("id")
+    val chainEdges = (1L until chainN).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      DedupOps.connectedComponents(chainNodes, chainEdges, maxIterations = 3).collect()
+    }
+
+    // duplicateClusters: exact dups AND transitive near-dups share one rep
+    val ws = (0 until 30).map(i => s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}word")
+    val body = ws.mkString(" ")
+    val docs = Seq(
+      (1L, body), (5L, body),                     // exact dups of each other
+      (3L, ws.map(_.toUpperCase).mkString(", ")), // near-dup of 1 (tokenizes same)
+      (7L, "totally unrelated content here with many different words")
+    ).toDF("doc_id", "text")
+    val clusters = DedupOps.duplicateClusters(docs, col("text"), col("doc_id"),
+        threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 5L -> 1L, 3L -> 1L, 7L -> 7L), clusters.toString)
+  }
+
   test("exactDuplicatePairs recovers the dup→rep mapping the LSH collapse hides") {
     val sp = spark; import sp.implicits._
     val docs = Seq((1L, "aa bb cc"), (4L, "aa bb cc"), (2L, "aa bb cc"),
