@@ -222,6 +222,80 @@ object SparkEntry {
       MultimodalOps.extractFeatures(MultimodalOps.mediaTable(spark, dir)))
       .orderBy("kind")
 
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    // coarse quantizer: 16 deterministic centroids (vec_id 1..16 — stands
+    // in for an offline-trained codebook); driver-collects 16 rows, the
+    // IVF analog of broadcasting the codebook
+    val cents = t(spark, dir, "embeddings")
+      .filter(col("vec_id") >= 1 && col("vec_id") <= 16)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).toSeq
+    SimilarityOps.ivfTopK(
+      t(spark, dir, "embeddings").filter(col("vec_id") =!= 0),
+      col("embedding"), col("vec_id"), cents, queryVector(spark, dir),
+      k = 10, nprobe = 4)
+  }
+
+  // ------------------------------------------------- KG graph queries
+
+  /** Deterministic KG over the relational tables via Direct Mapping:
+    * nation/region fully mapped (literal + FK-reference triples), the
+    * bigger customer/supplier tables contribute edge-only reference
+    * triples (their measure columns don't belong in the graph).
+    */
+  def kgTriples(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.directMapping(t(spark, dir, "nation"), "nation", "n_nationkey",
+        refs = Map("n_regionkey" -> "region"))
+      .unionByName(GraphOps.directMapping(t(spark, dir, "region"), "region", "r_regionkey"))
+      .unionByName(GraphOps.referenceTriples(t(spark, dir, "customer"), "customer",
+        "c_custkey", Map("c_nationkey" -> "nation")))
+      .unionByName(GraphOps.referenceTriples(t(spark, dir, "supplier"), "supplier",
+        "s_suppkey", Map("s_nationkey" -> "nation")))
+
+  def kgDirectMapping(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.directMapping(t(spark, dir, "nation"), "nation", "n_nationkey",
+        refs = Map("n_regionkey" -> "region"))
+      .unionByName(GraphOps.directMapping(t(spark, dir, "region"), "region", "r_regionkey"))
+      .orderBy("subj", "pred", "obj")
+
+  def kgPredicateStats(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.predicateStats(kgTriples(spark, dir)).orderBy("pred")
+
+  def kgDegrees(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.degrees(kgTriples(spark, dir))
+      .orderBy(col("in_degree").desc, col("node"))
+      .limit(10)
+
+  /** 4-pattern BGP chain: customers → nation → region named "ASIA", plus
+    * the nation's literal name — grouped to customer counts per nation.
+    */
+  def kgBgpChain(spark: SparkSession, dir: String): DataFrame = {
+    import GraphOps._
+    bgp(kgTriples(spark, dir), Seq(
+      TriplePattern(Var("cust"), Const("urn:dm:customer#ref-c_nationkey"), Var("nation")),
+      TriplePattern(Var("nation"), Const("urn:dm:nation#ref-n_regionkey"), Var("region")),
+      TriplePattern(Var("region"), Const("urn:dm:region#r_name"), Const("ASIA")),
+      TriplePattern(Var("nation"), Const("urn:dm:nation#n_name"), Var("nation_name"))))
+      .groupBy(col("nation"), col("nation_name"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("nation")
+  }
+
+  /** Star BGP: suppliers and customers sharing a nation — pair counts per
+    * nation node.
+    */
+  def kgBgpStar(spark: SparkSession, dir: String): DataFrame = {
+    import GraphOps._
+    bgp(kgTriples(spark, dir), Seq(
+      TriplePattern(Var("supp"), Const("urn:dm:supplier#ref-s_nationkey"), Var("nation")),
+      TriplePattern(Var("cust"), Const("urn:dm:customer#ref-c_nationkey"), Var("nation"))))
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("nation")
+  }
+
   // --------------------------------------------------------------- map
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -253,6 +327,13 @@ object SparkEntry {
     // similarity search
     "ann_cosine_topk" -> (annBruteForce(_, _)),
     "ann_lsh_topk" -> (annLsh(_, _)),
+    "ann_ivf_topk" -> (annIvf(_, _)),
+    // KG graph queries (Direct Mapping + BGP + graph stats)
+    "kg_direct_mapping" -> (kgDirectMapping(_, _)),
+    "kg_predicate_stats" -> (kgPredicateStats(_, _)),
+    "kg_degrees" -> (kgDegrees(_, _)),
+    "kg_bgp_chain" -> (kgBgpChain(_, _)),
+    "kg_bgp_star" -> (kgBgpStar(_, _)),
     // multimodal plumbing
     "multimodal_features" -> (multimodalFeatures(_, _))
   )
@@ -320,7 +401,87 @@ object SparkEntry {
        |      greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS j
        |  FROM cand JOIN sg a ON a.doc_id = doc_a JOIN sg b ON b.doc_id = doc_b)""".stripMargin
 
+  /** The Direct-Mapped TPC-H KG replayed in SQL — the same triples
+    * [[kgTriples]] emits, as a CTE the graph-query oracles share.
+    */
+  private lazy val kgQuadsCte: String =
+    s"""kg AS (
+       |  SELECT 'urn:dm:nation/'||n_nationkey AS subj, 'urn:dm:nation#n_name' AS pred,
+       |    n_name AS obj, '$XsdString' AS dt FROM nation
+       |  UNION ALL SELECT 'urn:dm:nation/'||n_nationkey, 'urn:dm:nation#n_regionkey',
+       |    CAST(n_regionkey AS VARCHAR), '$XsdInteger' FROM nation
+       |  UNION ALL SELECT 'urn:dm:nation/'||n_nationkey, 'urn:dm:nation#ref-n_regionkey',
+       |    'urn:dm:region/'||n_regionkey, '' FROM nation
+       |  UNION ALL SELECT 'urn:dm:region/'||r_regionkey, 'urn:dm:region#r_name',
+       |    r_name, '$XsdString' FROM region
+       |  UNION ALL SELECT 'urn:dm:customer/'||c_custkey, 'urn:dm:customer#ref-c_nationkey',
+       |    'urn:dm:nation/'||c_nationkey, '' FROM customer
+       |  UNION ALL SELECT 'urn:dm:supplier/'||s_suppkey, 'urn:dm:supplier#ref-s_nationkey',
+       |    'urn:dm:nation/'||s_nationkey, '' FROM supplier)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // IVF ANN: 16 deterministic centroids (vec_id 1..16), nearest-cell
+    // assignment with the bit-portable cosine fold (same left-to-right
+    // double arithmetic as Spark's aggregate), probe the 4 cells nearest
+    // the query, exact cosine top-10 inside them
+    "ann_ivf_topk" ->
+      s"""WITH cents AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS ce
+         |    FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |probes AS (SELECT cid FROM (
+         |    SELECT cid, row_number() OVER (
+         |      ORDER BY ${SimilarityOps.cosineFoldSql("qe", "ce")} DESC, cid) AS rn
+         |    FROM cents, q) WHERE rn <= 4),
+         |assigned AS (SELECT vec_id, embedding, cell FROM (
+         |    SELECT v.vec_id, v.embedding, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${SimilarityOps.cosineFoldSql("v.embedding", "c.ce")} DESC, c.cid) AS rn
+         |    FROM embeddings v CROSS JOIN cents c WHERE v.vec_id <> 0) WHERE rn = 1)
+         |SELECT vec_id,
+         |  round(${SimilarityOps.cosineFoldSql("assigned.embedding", "qe")}, 4) AS cosine
+         |FROM assigned, q, probes WHERE assigned.cell = probes.cid
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    // Direct Mapping (nation + region): literal triple per non-pk column,
+    // reference triple per FK — the W3C direct-mapping row/column rules
+    "kg_direct_mapping" ->
+      s"""WITH dm AS (
+         |  SELECT 'urn:dm:nation/'||n_nationkey AS subj, 'urn:dm:nation#n_name' AS pred,
+         |    n_name AS obj, '$XsdString' AS dt FROM nation
+         |  UNION ALL SELECT 'urn:dm:nation/'||n_nationkey, 'urn:dm:nation#n_regionkey',
+         |    CAST(n_regionkey AS VARCHAR), '$XsdInteger' FROM nation
+         |  UNION ALL SELECT 'urn:dm:nation/'||n_nationkey, 'urn:dm:nation#ref-n_regionkey',
+         |    'urn:dm:region/'||n_regionkey, '' FROM nation
+         |  UNION ALL SELECT 'urn:dm:region/'||r_regionkey, 'urn:dm:region#r_name',
+         |    r_name, '$XsdString' FROM region)
+         |SELECT subj, pred, obj, dt FROM dm ORDER BY subj, pred, obj""".stripMargin,
+    "kg_predicate_stats" ->
+      s"""WITH $kgQuadsCte
+         |SELECT pred, count(*) AS n_triples FROM kg GROUP BY pred ORDER BY pred""".stripMargin,
+    "kg_degrees" ->
+      s"""WITH $kgQuadsCte,
+         |o AS (SELECT subj AS node, count(*) AS out_degree FROM kg GROUP BY subj),
+         |i AS (SELECT obj AS node, count(*) AS in_degree FROM kg WHERE dt = '' GROUP BY obj)
+         |SELECT COALESCE(o.node, i.node) AS node,
+         |  COALESCE(out_degree, CAST(0 AS BIGINT)) AS out_degree,
+         |  COALESCE(in_degree, CAST(0 AS BIGINT)) AS in_degree
+         |FROM o FULL OUTER JOIN i ON o.node = i.node
+         |ORDER BY in_degree DESC, node LIMIT 10""".stripMargin,
+    "kg_bgp_chain" ->
+      s"""WITH $kgQuadsCte
+         |SELECT n.subj AS nation, nm.obj AS nation_name, count(*) AS n_customers
+         |FROM kg c
+         |JOIN kg n ON n.subj = c.obj AND n.pred = 'urn:dm:nation#ref-n_regionkey'
+         |JOIN kg r ON r.subj = n.obj AND r.pred = 'urn:dm:region#r_name' AND r.obj = 'ASIA'
+         |JOIN kg nm ON nm.subj = n.subj AND nm.pred = 'urn:dm:nation#n_name'
+         |WHERE c.pred = 'urn:dm:customer#ref-c_nationkey'
+         |GROUP BY n.subj, nm.obj ORDER BY nation""".stripMargin,
+    "kg_bgp_star" ->
+      s"""WITH $kgQuadsCte
+         |SELECT s.obj AS nation, count(*) AS n_pairs
+         |FROM kg s JOIN kg c ON c.obj = s.obj
+         |WHERE s.pred = 'urn:dm:supplier#ref-s_nationkey'
+         |  AND c.pred = 'urn:dm:customer#ref-c_nationkey'
+         |GROUP BY s.obj ORDER BY nation""".stripMargin,
     "jsonld_pipeline_quads" ->
       s"""WITH q AS (
          |  SELECT '$D'||doc_id AS subj, '$RdfType' AS pred, '${V}Document' AS obj, '' AS dt FROM documents

@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Graph-side operators over a materialized triple table: the KG this
+  * engine CONSTRUCTS (detect→expand→toRDF→c14n) is also a KG users QUERY.
+  * Three families, all declarative DataFrame plans so Catalyst keeps
+  * pushdown/pruning/broadcast decisions:
+  *
+  *  - '''Direct Mapping''' (relational→RDF per the W3C "A Direct Mapping
+  *    of Relational Data to RDF" recommendation): turns any DataFrame into
+  *    (subj, pred, obj, dt) triples — row node from the primary key, one
+  *    literal triple per column, one reference triple per foreign key.
+  *    The triple explosion is a single narrow `explode` over a literal
+  *    struct array: one scan, no shuffle, fully codegen'd. At 100 TB this
+  *    is the bulk-ingest path from warehouse tables into the KG.
+  *
+  *  - '''Basic graph patterns''' (the SPARQL BGP core): a pattern list
+  *    compiles to filtered projections of the triple table joined on
+  *    shared variables. Constant terms become pushable predicates (they
+  *    reach the parquet scan of a predicate-bucketed triple table), and
+  *    join sizing is left to Catalyst/AQE — selective patterns broadcast,
+  *    large ones shuffle on the shared variable.
+  *
+  *  - '''Graph statistics''': predicate histogram and per-node
+  *    in/out-degrees — single hash aggregations (map-side partials), the
+  *    standard profile queries over a freshly built KG.
+  *
+  * Reference scope note: json-gold stops at algorithm outputs (expand /
+  * toRDF / frame — e.g. `/root/reference/ld/api.go`); querying the
+  * resulting graph is corpus-level capability this engine adds on top.
+  */
+object GraphOps {
+
+  /** A term in a triple pattern: either a variable (joins/projections
+    * bind it) or a constant (compiles to a pushable equality filter).
+    */
+  sealed trait Term
+  final case class Var(name: String) extends Term
+  final case class Const(value: String) extends Term
+
+  final case class TriplePattern(s: Term, p: Term, o: Term)
+
+  val XsdString = "http://www.w3.org/2001/XMLSchema#string"
+  val XsdInteger = "http://www.w3.org/2001/XMLSchema#integer"
+  val XsdDecimal = "http://www.w3.org/2001/XMLSchema#decimal"
+  val XsdDouble = "http://www.w3.org/2001/XMLSchema#double"
+  val XsdBoolean = "http://www.w3.org/2001/XMLSchema#boolean"
+  val XsdDate = "http://www.w3.org/2001/XMLSchema#date"
+  val XsdDateTime = "http://www.w3.org/2001/XMLSchema#dateTime"
+
+  /** XSD datatype IRI for a Spark column type (Direct Mapping §Datatype
+    * Mappings). Doubles map to xsd:double but their LEXICAL form here is
+    * Spark's `cast(string)` (Java Double.toString) — callers needing
+    * canonical XSD doubles should pre-format; integer/string/boolean/date
+    * lexical forms are already canonical.
+    */
+  def xsdOf(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType => XsdInteger
+    case FloatType | DoubleType => XsdDouble
+    case _: DecimalType => XsdDecimal
+    case BooleanType => XsdBoolean
+    case DateType => XsdDate
+    case TimestampType => XsdDateTime
+    case _ => XsdString
+  }
+
+  /** Row-node IRI for `table` keyed by `pk` — `urn:dm:<table>/<pk>`. */
+  def rowIri(tableName: String, pk: Column): Column =
+    concat(lit(s"urn:dm:$tableName/"), pk.cast("string"))
+
+  /** W3C-style Direct Mapping of a DataFrame to triples.
+    *
+    * Emits, per row with primary key `pk`:
+    *  - a literal triple `<urn:dm:T/pk> <urn:dm:T#col> "value"^^xsd:…`
+    *    for every non-pk column (nulls skipped, as the spec mandates);
+    *  - additionally, for every column in `refs` (column → referenced
+    *    table), a reference triple
+    *    `<urn:dm:T/pk> <urn:dm:T#ref-col> <urn:dm:R/fk>` with dt "" —
+    *    the IRI-object convention this engine's pipeline quads use.
+    *
+    * Plan shape: one scan → `explode` of a per-row literal struct array →
+    * null filter. No shuffle, whole-stage codegen; at 10^12 rows this
+    * scales with the scan.
+    */
+  def directMapping(table: DataFrame, tableName: String, pk: String,
+                    refs: Map[String, String] = Map.empty): DataFrame = {
+    val entries: Seq[Column] = table.schema.fields.filter(_.name != pk).toSeq.flatMap { f =>
+      val literal = struct(
+        lit(s"urn:dm:$tableName#${f.name}").as("pred"),
+        col(f.name).cast("string").as("obj"),
+        lit(xsdOf(f.dataType)).as("dt"))
+      refs.get(f.name) match {
+        case Some(refTable) => Seq(literal, struct(
+          lit(s"urn:dm:$tableName#ref-${f.name}").as("pred"),
+          rowIri(refTable, col(f.name)).as("obj"),
+          lit("").as("dt")))
+        case None => Seq(literal)
+      }
+    }
+    table.select(rowIri(tableName, col(pk)).as("subj"), explode(array(entries: _*)).as("po"))
+      .select(col("subj"), col("po.pred").as("pred"), col("po.obj").as("obj"),
+        col("po.dt").as("dt"))
+      .filter(col("obj").isNotNull)
+  }
+
+  /** Only the foreign-key reference triples of a table — the edge-only
+    * projection of [[directMapping]] for fact tables whose literal columns
+    * (measures) don't belong in the graph.
+    */
+  def referenceTriples(table: DataFrame, tableName: String, pk: String,
+                       refs: Map[String, String]): DataFrame = {
+    val entries = refs.toSeq.sortBy(_._1).map { case (fkCol, refTable) =>
+      struct(
+        lit(s"urn:dm:$tableName#ref-$fkCol").as("pred"),
+        rowIri(refTable, col(fkCol)).as("obj"),
+        lit("").as("dt"))
+    }
+    table.select(rowIri(tableName, col(pk)).as("subj"), explode(array(entries: _*)).as("po"))
+      .select(col("subj"), col("po.pred").as("pred"), col("po.obj").as("obj"),
+        col("po.dt").as("dt"))
+      .filter(col("obj").isNotNull)
+  }
+
+  /** Compile a basic graph pattern to a join plan over a (subj, pred, obj[,
+    * dt]) triple table. Each pattern becomes a filtered projection (constant
+    * terms → equality predicates, pushable to the scan; repeated variables
+    * within a pattern → self-equality filters); patterns then fold into
+    * inner joins on their shared variables, left to right — order patterns
+    * selective-first, exactly as a SPARQL engine's join-order heuristic
+    * would. Catalyst/AQE picks broadcast vs shuffle per join from actual
+    * sizes. Output: one column per distinct variable.
+    *
+    * Patterns with no shared variable with the accumulated prefix form a
+    * cartesian product (valid SPARQL, rarely intended) — allowed, but the
+    * caller sees it in the plan.
+    */
+  def bgp(quads: DataFrame, patterns: Seq[TriplePattern]): DataFrame = {
+    require(patterns.nonEmpty, "empty basic graph pattern")
+
+    def one(pat: TriplePattern): DataFrame = {
+      val terms = Seq("subj" -> pat.s, "pred" -> pat.p, "obj" -> pat.o)
+      val constFilter = terms.collect { case (c, Const(v)) => col(c) === lit(v) }
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val vars = terms.collect { case (c, Var(n)) => (c, n) }
+      val eqFilter = vars.groupBy(_._2).values.collect {
+        case group if group.size > 1 =>
+          group.map(g => col(g._1)).sliding(2).collect { case Seq(a, b) => a === b }
+            .reduce(_ && _)
+      }.reduceOption(_ && _).getOrElse(lit(true))
+      val proj = vars.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (n, group) => col(group.head._1).as(n) }
+      val base = quads.filter(constFilter && eqFilter)
+      if (proj.isEmpty) base.select(lit(1).as("__matched")).limit(1)
+      else base.select(proj: _*)
+    }
+
+    patterns.map(one).reduce { (acc, next) =>
+      val shared = acc.columns.toSet.intersect(next.columns.toSet).toSeq.sorted
+      if (shared.isEmpty) acc.crossJoin(next) else acc.join(next, shared)
+    }
+  }
+
+  /** Triple count per predicate — the first profiling query over any
+    * freshly constructed KG. One hash aggregation with map-side partials.
+    */
+  def predicateStats(quads: DataFrame): DataFrame =
+    quads.groupBy(col("pred")).agg(count(lit(1)).as("n_triples"))
+
+  /** Per-node out-degree (triples with the node as subject) and in-degree
+    * (IRI-object triples pointing at it — literals don't create edges,
+    * hence the `dt = ""` filter). Two partial-aggregated counts joined
+    * full-outer on the node IRI; at KG scale both sides shuffle once on
+    * the same key.
+    */
+  def degrees(quads: DataFrame): DataFrame = {
+    val out = quads.groupBy(col("subj").as("node"))
+      .agg(count(lit(1)).as("out_degree"))
+    val in = quads.filter(col("dt") === "")
+      .groupBy(col("obj").as("node"))
+      .agg(count(lit(1)).as("in_degree"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+  }
+}

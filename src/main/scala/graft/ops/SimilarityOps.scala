@@ -222,6 +222,76 @@ object SimilarityOps {
     (pairs, capDrops)
   }
 
+  // ------------------------------------------------------------- IVF ANN
+
+  /** Assign each vector to its nearest centroid (argmax cosine) — the IVF
+    * coarse-quantizer step. Centroids arrive as (cellId, components)
+    * literals (trained/sampled offline, tiny — they ship inside the plan,
+    * the distributed analog of a broadcast); the scored array + `array_max`
+    * keeps the whole assignment in one codegen'd projection, no shuffle.
+    * Ties break toward the smaller cellId (struct max compares the cosine
+    * first, then the negated id).
+    */
+  def ivfAssign(emb: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
+    val scored = centroids.map { case (cid, c) =>
+      struct(cosineToQuery(emb, c).as("c"), lit(-cid).as("n"))
+    }
+    -array_max(array(scored: _*)).getField("n")
+  }
+
+  /** Driver-side cosine with the exact arithmetic of [[cosineToQuery]]:
+    * left-to-right double folds, dot / (normA * normB).
+    */
+  def cosineScalar(a: Seq[Double], b: Seq[Double]): Double = {
+    val dot = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val na = math.sqrt(a.foldLeft(0.0)((acc, x) => acc + x * x))
+    val nb = math.sqrt(b.foldLeft(0.0)((acc, x) => acc + x * x))
+    dot / (na * nb)
+  }
+
+  /** IVF (inverted-file) approximate nearest neighbor: vectors are
+    * partitioned into `centroids.size` cells by nearest centroid; the
+    * probe computes the query's `nprobe` nearest cells DRIVER-side (a few
+    * scalar cosines) and scans only those cells with exact cosine → top-k.
+    *
+    * This is the other standard scale path next to SRP-LSH ([[lshTopK]]):
+    * recall is controlled by nprobe/nlist instead of hyperplane count, and
+    * cell sizes follow the data distribution instead of random cuts. The
+    * plan is a narrow filter (cell IN probes) over one assignment
+    * projection — no shuffle, no join; at 100 TB the assignment column is
+    * precomputed once at ingest and the probe prunes by cell partition.
+    */
+  def ivfTopK(vectors: DataFrame, emb: Column, id: Column,
+              centroids: Seq[(Int, Seq[Double])], query: Seq[Double],
+              k: Int, nprobe: Int): DataFrame = {
+    val probes = centroids
+      .map { case (cid, c) => (cid, cosineScalar(query, c)) }
+      .sortBy { case (cid, cos) => (-cos, cid) }
+      .take(nprobe).map(_._1)
+    vectors
+      .select(id.as("vec_id"), emb.as("emb"), ivfAssign(emb, centroids).as("cell"))
+      .filter(col("cell").isin(probes: _*))
+      .select(col("vec_id"), round(cosineToQuery(col("emb"), query), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** DuckDB SQL fragment computing cosine(`aExpr`, `bExpr`) over FLOAT[]
+    * columns with the exact arithmetic of [[cosineToQuery]] /
+    * [[cosineScalar]]: cast-to-double, left-to-right folds (0.0-seeded
+    * list_reduce, matching Spark's `aggregate`), dot / (normA * normB) —
+    * so cell argmax comparisons are bit-identical, not merely close.
+    * DuckDB lambda indexes are 1-based, hence `b[i]` pairing `a`'s i-th.
+    */
+  def cosineFoldSql(aExpr: String, bExpr: String): String = {
+    def fold(body: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $body), (a, b) -> a + b)"
+    val dot = fold(s"list_transform($aExpr, (x, i) -> CAST(x AS DOUBLE) * CAST($bExpr[i] AS DOUBLE))")
+    val na = s"sqrt(${fold(s"list_transform($aExpr, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})"
+    val nb = s"sqrt(${fold(s"list_transform($bExpr, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})"
+    s"($dot / ($na * $nb))"
+  }
+
   /** Cosine between two embedding columns (double precision, left-to-right
     * sums — the same fold order any SQL oracle uses).
     */

@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Graph-side operators: Direct Mapping semantics (literal + reference
+  * triples, null skipping), BGP compilation (constant pushdown, shared-var
+  * joins, repeated-var filters, no accidental cartesians), degree/stat
+  * aggregations, and IVF ANN (assignment determinism, probe recall).
+  */
+class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  import GraphOps._
+
+  private def quads(rows: (String, String, String, String)*) = {
+    val sp = spark; import sp.implicits._
+    rows.toDF("subj", "pred", "obj", "dt")
+  }
+
+  test("directMapping: literal triple per column, reference triple per FK, nulls skipped") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, "alice", Some(7), Some(30L)), (2L, "bob", None, None))
+      .toDF("id", "name", "dept", "age")
+    val got = GraphOps.directMapping(df, "person", "id", refs = Map("dept" -> "dept"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(got == Set(
+      ("urn:dm:person/1", "urn:dm:person#name", "alice", XsdString),
+      ("urn:dm:person/1", "urn:dm:person#dept", "7", XsdInteger),
+      ("urn:dm:person/1", "urn:dm:person#ref-dept", "urn:dm:dept/7", ""),
+      ("urn:dm:person/1", "urn:dm:person#age", "30", XsdInteger),
+      ("urn:dm:person/2", "urn:dm:person#name", "bob", XsdString)))
+  }
+
+  test("directMapping is a narrow plan: no shuffle exchange") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, "x")).toDF("id", "name")
+    val plan = GraphOps.directMapping(df, "t", "id").queryExecution.executedPlan
+    def hasExchange(p: SparkPlan): Boolean =
+      p.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] ||
+        p.children.exists(hasExchange)
+    assert(!hasExchange(plan), s"directMapping must not shuffle:\n$plan")
+  }
+
+  test("bgp: chain join binds shared variables across patterns") {
+    val kg = quads(
+      ("c1", "p:in", "n1", ""), ("c2", "p:in", "n1", ""), ("c3", "p:in", "n2", ""),
+      ("n1", "p:of", "r1", ""), ("n2", "p:of", "r2", ""),
+      ("r1", "p:name", "ASIA", XsdString), ("r2", "p:name", "EUROPE", XsdString))
+    val got = bgp(kg, Seq(
+      TriplePattern(Var("c"), Const("p:in"), Var("n")),
+      TriplePattern(Var("n"), Const("p:of"), Var("r")),
+      TriplePattern(Var("r"), Const("p:name"), Const("ASIA"))))
+      .select("c", "n", "r").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("c1", "n1", "r1"), ("c2", "n1", "r1")))
+  }
+
+  test("bgp: repeated variable inside one pattern compiles to a self-equality filter") {
+    val kg = quads(("a", "p:knows", "a", ""), ("a", "p:knows", "b", ""))
+    val got = bgp(kg, Seq(TriplePattern(Var("x"), Const("p:knows"), Var("x"))))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("a"))
+  }
+
+  test("bgp: variable predicate is projected like any other binding") {
+    val kg = quads(("s", "p:a", "o1", ""), ("s", "p:b", "o2", ""))
+    val got = bgp(kg, Seq(TriplePattern(Const("s"), Var("p"), Var("o"))))
+      .select("p", "o").orderBy("p").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("p:a", "o1"), ("p:b", "o2")))
+  }
+
+  test("bgp: shared-variable joins never plan a cartesian product") {
+    val kg = quads(
+      ("c1", "p:in", "n1", ""), ("n1", "p:of", "r1", ""), ("r1", "p:name", "ASIA", XsdString))
+    val plan = bgp(kg, Seq(
+      TriplePattern(Var("c"), Const("p:in"), Var("n")),
+      TriplePattern(Var("n"), Const("p:of"), Var("r")),
+      TriplePattern(Var("r"), Const("p:name"), Const("ASIA"))))
+      .queryExecution.executedPlan
+    def hasCartesian(p: SparkPlan): Boolean =
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec] ||
+        p.children.exists(hasCartesian)
+    assert(!hasCartesian(plan), s"BGP chain must be equi-joins only:\n$plan")
+  }
+
+  test("degrees: out from subjects, in from IRI objects only, zeros coalesced") {
+    val kg = quads(
+      ("a", "p:x", "b", ""), ("a", "p:y", "lit", XsdString), ("b", "p:x", "a", ""),
+      ("c", "p:x", "a", ""))
+    val got = GraphOps.degrees(kg).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("a") == ((2L, 2L))) // out: p:x+p:y; in: from b and c
+    assert(got("b") == ((1L, 1L)))
+    assert(got("c") == ((1L, 0L)))
+    assert(!got.contains("lit"), "literal objects must not become nodes")
+  }
+
+  test("predicateStats counts per predicate") {
+    val kg = quads(("a", "p:x", "b", ""), ("c", "p:x", "d", ""), ("a", "p:y", "e", ""))
+    val got = GraphOps.predicateStats(kg).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("p:x" -> 2L, "p:y" -> 1L))
+  }
+
+  // ----------------------------------------------------------- IVF ANN
+
+  private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+
+  test("ivfAssign: vectors go to their nearest centroid, ties to the smaller cell id") {
+    val sp = spark; import sp.implicits._
+    val centroids = Seq(1 -> Seq(1.0, 0.0), 2 -> Seq(0.0, 1.0))
+    val df = Seq(
+      (10L, vec(0.9, 0.1)), // near centroid 1
+      (11L, vec(0.1, 0.9)), // near centroid 2
+      (12L, vec(1.0, 1.0))  // equidistant → cell 1 (smaller id)
+    ).toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+        SimilarityOps.ivfAssign(col("embedding"), centroids).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(10L -> 1, 11L -> 2, 12L -> 1))
+  }
+
+  test("ivfTopK: probe finds planted neighbors; larger nprobe is a superset") {
+    val sp = spark; import sp.implicits._
+    val query = Seq(1.0, 0.0, 0.0)
+    val centroids = Seq(1 -> Seq(1.0, 0.0, 0.0), 2 -> Seq(0.0, 1.0, 0.0), 3 -> Seq(0.0, 0.0, 1.0))
+    val rows = Seq(
+      (1L, vec(0.99, 0.01, 0.0)), (2L, vec(0.95, 0.05, 0.0)),
+      (3L, vec(0.0, 1.0, 0.05)), (4L, vec(0.05, 0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val top1probe = SimilarityOps.ivfTopK(rows, col("embedding"), col("vec_id"),
+        centroids, query, k = 3, nprobe = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top1probe == Seq(1L, 2L), "nearest cell holds exactly the planted neighbors")
+    val top3probe = SimilarityOps.ivfTopK(rows, col("embedding"), col("vec_id"),
+        centroids, query, k = 4, nprobe = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(top3probe == Set(1L, 2L, 3L, 4L), "full probe recovers everything")
+  }
+
+  test("ivfTopK agrees with brute force when probing all cells") {
+    val sp = spark; import sp.implicits._
+    val rng = new scala.util.Random(42)
+    val dims = 8
+    val rows = (1L to 60L).map(i => (i, Seq.fill(dims)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val query = Seq.fill(dims)(rng.nextGaussian())
+    val centroids = (1 to 4).map(c => c -> Seq.tabulate(dims)(d => if (d == c % dims) 1.0 else 0.1))
+    val ivf = SimilarityOps.ivfTopK(rows, col("embedding"), col("vec_id"),
+        centroids, query, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = SimilarityOps.bruteForceTopK(rows, col("embedding"), col("vec_id"),
+        query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf == brute, "nprobe = nlist must reduce to exact top-k")
+  }
+}
