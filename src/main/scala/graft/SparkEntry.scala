@@ -283,6 +283,52 @@ object SparkEntry {
       .orderBy("nation")
   }
 
+  /** Transitive closure (iterative doubling) over the deterministic
+    * binary-tree parent edges doc_id → doc_id div 2: per-document ancestor
+    * count and top (minimum-id) ancestor.
+    */
+  def kgReachability(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "documents").filter(col("doc_id") > 0)
+      .select(col("doc_id").as("src"), expr("doc_id div 2").as("dst"))
+    GraphOps.transitiveClosure(edges)
+      .groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).as("n_ancestors"), min(col("dst")).as("top_ancestor"))
+      .orderBy("doc_id")
+  }
+
+  /** [[GraphOps.predicateStats]] over the KG the JSON-LD pipeline itself
+    * constructs — graph profiling plugged onto the engine's own output.
+    */
+  def jsonldGraphStats(spark: SparkSession, dir: String): DataFrame = {
+    val (pipe, _) = runPipeline(spark, Corpus.corpusFlat(spark, dir))
+    val quads = Pipeline.dedupQuads(Pipeline.quads(pipe))
+      .select(col("subj"), col("pred"), col("obj"), col("objDatatype").as("dt"))
+    GraphOps.predicateStats(quads).orderBy("pred")
+  }
+
+  /** BGP over the pipeline-constructed KG: English-language documents
+    * counted per source — two patterns sharing the document variable.
+    */
+  def jsonldBgpSources(spark: SparkSession, dir: String): DataFrame = {
+    import GraphOps._
+    val (pipe, _) = runPipeline(spark, Corpus.corpusFlat(spark, dir))
+    val quads = Pipeline.dedupQuads(Pipeline.quads(pipe))
+      .select(col("subj"), col("pred"), col("obj"), col("objDatatype").as("dt"))
+    bgp(quads, Seq(
+      TriplePattern(Var("doc"), Const(s"${V}lang"), Const("en")),
+      TriplePattern(Var("doc"), Const(s"${V}source"), Var("src"))))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("src")
+  }
+
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    SampleOps.stratifiedSample(t(spark, dir, "documents"), col("lang"), col("doc_id"),
+        rates = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("lang")
+
   /** Star BGP: suppliers and customers sharing a nation — pair counts per
     * nation node.
     */
@@ -334,6 +380,11 @@ object SparkEntry {
     "kg_degrees" -> (kgDegrees(_, _)),
     "kg_bgp_chain" -> (kgBgpChain(_, _)),
     "kg_bgp_star" -> (kgBgpStar(_, _)),
+    "kg_reachability" -> (kgReachability(_, _)),
+    "jsonld_graph_stats" -> (jsonldGraphStats(_, _)),
+    "jsonld_bgp_sources" -> (jsonldBgpSources(_, _)),
+    // curation sampling
+    "sample_stratified" -> (sampleStratified(_, _)),
     // multimodal plumbing
     "multimodal_features" -> (multimodalFeatures(_, _))
   )
@@ -482,6 +533,38 @@ object SparkEntry {
          |WHERE s.pred = 'urn:dm:supplier#ref-s_nationkey'
          |  AND c.pred = 'urn:dm:customer#ref-c_nationkey'
          |GROUP BY s.obj ORDER BY nation""".stripMargin,
+    // transitive closure over the deterministic doc_id → doc_id div 2
+    // tree: the recursive CTE is the declarative fixpoint the Spark side
+    // reaches by iterative doubling
+    "kg_reachability" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id AS src, doc_id // 2 AS dst FROM documents WHERE doc_id > 0),
+        |tc(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT tc.src, e.dst FROM tc JOIN e ON e.src = tc.dst)
+        |SELECT src AS doc_id, count(*) AS n_ancestors,
+        |  CAST(min(dst) AS BIGINT) AS top_ancestor
+        |FROM tc GROUP BY src ORDER BY doc_id""".stripMargin,
+    "jsonld_graph_stats" ->
+      s"""WITH c AS (SELECT count(*) AS n FROM documents)
+         |SELECT pred, n AS n_triples FROM (
+         |  SELECT '$RdfType' AS pred, n FROM c
+         |  UNION ALL SELECT '${V}chars', n FROM c
+         |  UNION ALL SELECT '${V}lang', n FROM c
+         |  UNION ALL SELECT '${V}source', n FROM c
+         |  UNION ALL SELECT '${V}text', n FROM c
+         |) ORDER BY pred""".stripMargin,
+    "jsonld_bgp_sources" ->
+      """SELECT source AS src, count(*) AS n_docs FROM documents
+        |WHERE lang = 'en' GROUP BY source ORDER BY src""".stripMargin,
+    // deterministic hash-gate sample: identical bucket arithmetic
+    "sample_stratified" ->
+      s"""SELECT lang, count(*) AS n_sampled FROM documents
+         |WHERE ${ops.SampleOps.gateSql("doc_id", "sample")} <
+         |  CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+         |        WHEN 'zh' THEN 0.1 ELSE 0.0 END) * 10000 AS BIGINT)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "jsonld_pipeline_quads" ->
       s"""WITH q AS (
          |  SELECT '$D'||doc_id AS subj, '$RdfType' AS pred, '${V}Document' AS obj, '' AS dt FROM documents

@@ -217,11 +217,23 @@ object DedupOps {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIterations: Int = 20): DataFrame = {
+    // materialize the edge list ONCE: `edges` is typically an expensive
+    // plan (the whole MinHash-LSH candidate+verify pipeline), and every
+    // propagation round joins against it — without the checkpoint each
+    // round would re-run that entire upstream plan
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
-    var labels = nodes.select(col("id"), col("id").as("component")).localCheckpoint()
+      .localCheckpoint()
+    // iterate ONLY over nodes that have at least one edge: everything else
+    // is a singleton component by definition and gets self-labeled at the
+    // end without touching the join rounds. In a real corpus duplicates
+    // are a small fraction, so this shrinks the per-round frames from |V|
+    // to |touched(E)| — the difference between iterating over 10^12 docs
+    // and over the dup subgraph.
+    val touched = sym.select(col("a").as("id")).distinct()
+    var labels = touched.select(col("id"), col("id").as("component")).localCheckpoint()
     var prevSum = labels.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
-    var converged = false
+    var converged = prevSum == null // no edges at all → nothing to iterate
     var i = 0
     while (!converged && i < maxIterations) {
       val prop = sym.join(labels, sym("a") === labels("id"))
@@ -238,7 +250,10 @@ object DedupOps {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIterations rounds " +
           "(adversarially long chain?) — raise maxIterations")
-    labels
+    val singletons = nodes.select(col("id"))
+      .join(touched, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    labels.union(singletons)
   }
 
   /** Duplicate clusters: connected components over the union of exact

@@ -163,6 +163,44 @@ object GraphOps {
     }
   }
 
+  /** Transitive closure of a directed edge list (`src`, `dst`) by
+    * iterative doubling: after round i the path set covers all lengths up
+    * to 2^i, so a diameter-D graph converges in ⌈log₂ D⌉ + 1 rounds —
+    * O(log D) self-joins instead of the O(D) rounds of frontier BFS. This
+    * matters at corpus scale: each round is a full shuffle join, and at
+    * 10^12 edges ten shuffles vs a thousand is the whole game. Each round
+    * is `localCheckpoint`ed to cut lineage (swap for reliable
+    * checkpointing on a real cluster). Convergence = path count fixpoint;
+    * non-convergence within `maxIterations` raises rather than returning
+    * a silently partial closure.
+    *
+    * Output: all (src, dst) pairs with dst reachable in ≥ 1 step. Beware
+    * the closure of a dense graph is quadratic — this is for
+    * hierarchy/ancestry-shaped relations (rdfs:subClassOf, parent trees,
+    * skos:broader), not social graphs.
+    */
+  def transitiveClosure(edges: DataFrame, maxIterations: Int = 20): DataFrame = {
+    var paths = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    var n = paths.count()
+    var converged = n == 0
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val doubled = paths.as("l").join(paths.as("r"), col("l.dst") === col("r.src"))
+        .select(col("l.src").as("src"), col("r.dst").as("dst"))
+      val next = paths.union(doubled).distinct().localCheckpoint()
+      val m = next.count()
+      converged = m == n
+      paths = next
+      n = m
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"transitiveClosure did not converge in $maxIterations doubling rounds " +
+          "(cycle-free depth > 2^rounds, or a dense quadratic closure) — raise maxIterations")
+    paths
+  }
+
   /** Triple count per predicate — the first profiling query over any
     * freshly constructed KG. One hash aggregation with map-side partials.
     */

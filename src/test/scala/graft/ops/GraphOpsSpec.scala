@@ -120,6 +120,40 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map("p:x" -> 2L, "p:y" -> 1L))
   }
 
+  test("transitiveClosure: chain and diamond close fully; iterative doubling converges") {
+    val sp = spark; import sp.implicits._
+    // chain 1→2→3→4 plus a side edge 5→3
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 3L)).toDF("src", "dst")
+    val got = GraphOps.transitiveClosure(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set(
+      (1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L),
+      (3L, 4L),
+      (5L, 3L), (5L, 4L)))
+  }
+
+  test("transitiveClosure: empty edge set returns empty without iterating") {
+    val sp = spark; import sp.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(GraphOps.transitiveClosure(empty).count() == 0)
+  }
+
+  test("stratifiedSample: deterministic across runs, honors 0/1 rates, subset semantics") {
+    val sp = spark; import sp.implicits._
+    val docs = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")
+    def run(rates: Map[String, Double]) =
+      SampleOps.stratifiedSample(docs, col("lang"), col("id"), rates)
+        .collect().map(_.getLong(0)).toSet
+    val a = run(Map("en" -> 0.5))
+    assert(a == run(Map("en" -> 0.5)), "same salt+rates must select the same rows")
+    assert(a.forall(_ % 2 == 0), "default rate 0.0 must drop unlisted strata")
+    assert(a.nonEmpty && a.size < 200, "rate 0.5 keeps a strict non-empty subset")
+    assert(run(Map("en" -> 1.0, "de" -> 1.0)).size == 400, "rate 1.0 keeps everything")
+    val half = run(Map("en" -> 0.25))
+    assert(half.subsetOf(a), "lower rate selects a subset of the higher rate (same gate)")
+  }
+
   // ----------------------------------------------------------- IVF ANN
 
   private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
