@@ -322,6 +322,21 @@ object SparkEntry {
       .orderBy("src")
   }
 
+  /** OPTIONAL BGP: every nation (required pattern) with its supplier
+    * count — nations without suppliers survive the left join with 0.
+    */
+  def kgBgpOptional(spark: SparkSession, dir: String): DataFrame = {
+    import GraphOps._
+    bgpOptional(kgTriples(spark, dir),
+      required = Seq(
+        TriplePattern(Var("nation"), Const("urn:dm:nation#ref-n_regionkey"), Var("region"))),
+      optional = Seq(Seq(
+        TriplePattern(Var("supp"), Const("urn:dm:supplier#ref-s_nationkey"), Var("nation")))))
+      .groupBy(col("nation"))
+      .agg(count(col("supp")).as("n_suppliers"))
+      .orderBy("nation")
+  }
+
   def sampleStratified(spark: SparkSession, dir: String): DataFrame =
     SampleOps.stratifiedSample(t(spark, dir, "documents"), col("lang"), col("doc_id"),
         rates = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1))
@@ -380,6 +395,7 @@ object SparkEntry {
     "kg_degrees" -> (kgDegrees(_, _)),
     "kg_bgp_chain" -> (kgBgpChain(_, _)),
     "kg_bgp_star" -> (kgBgpStar(_, _)),
+    "kg_bgp_optional" -> (kgBgpOptional(_, _)),
     "kg_reachability" -> (kgReachability(_, _)),
     "jsonld_graph_stats" -> (jsonldGraphStats(_, _)),
     "jsonld_bgp_sources" -> (jsonldBgpSources(_, _)),
@@ -533,6 +549,13 @@ object SparkEntry {
          |WHERE s.pred = 'urn:dm:supplier#ref-s_nationkey'
          |  AND c.pred = 'urn:dm:customer#ref-c_nationkey'
          |GROUP BY s.obj ORDER BY nation""".stripMargin,
+    "kg_bgp_optional" ->
+      s"""WITH $kgQuadsCte
+         |SELECT n.subj AS nation, count(s.subj) AS n_suppliers
+         |FROM kg n LEFT JOIN kg s
+         |  ON s.pred = 'urn:dm:supplier#ref-s_nationkey' AND s.obj = n.subj
+         |WHERE n.pred = 'urn:dm:nation#ref-n_regionkey'
+         |GROUP BY n.subj ORDER BY nation""".stripMargin,
     // transitive closure over the deterministic doc_id → doc_id div 2
     // tree: the recursive CTE is the declarative fixpoint the Spark side
     // reaches by iterative doubling

@@ -163,6 +163,23 @@ object GraphOps {
     }
   }
 
+  /** [[bgp]] plus SPARQL OPTIONAL semantics: each `optional` pattern
+    * group left-outer-joins onto the required bindings on their shared
+    * variables — required rows survive unmatched with nulls in the
+    * optional-only columns, exactly OPTIONAL's preserve-left contract.
+    * Each group must share ≥ 1 variable with the required block (an
+    * unanchored OPTIONAL would be a cartesian — rejected, not guessed).
+    */
+  def bgpOptional(quads: DataFrame, required: Seq[TriplePattern],
+                  optional: Seq[Seq[TriplePattern]]): DataFrame =
+    optional.foldLeft(bgp(quads, required)) { (acc, group) =>
+      val opt = bgp(quads, group)
+      val shared = acc.columns.toSet.intersect(opt.columns.toSet).toSeq.sorted
+      require(shared.nonEmpty,
+        s"OPTIONAL group ${group.mkString(", ")} shares no variable with the required pattern")
+      acc.join(opt, shared, "left_outer")
+    }
+
   /** Transitive closure of a directed edge list (`src`, `dst`) by
     * iterative doubling: after round i the path set covers all lengths up
     * to 2^i, so a diameter-D graph converges in ⌈log₂ D⌉ + 1 rounds —

@@ -120,6 +120,23 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map("p:x" -> 2L, "p:y" -> 1L))
   }
 
+  test("bgpOptional: unmatched optional rows survive with nulls; unanchored group rejected") {
+    val kg = quads(
+      ("n1", "p:of", "r1", ""), ("n2", "p:of", "r2", ""),
+      ("s1", "p:supp", "n1", ""))
+    val got = bgpOptional(kg,
+      required = Seq(TriplePattern(Var("n"), Const("p:of"), Var("r"))),
+      optional = Seq(Seq(TriplePattern(Var("s"), Const("p:supp"), Var("n")))))
+      .select("n", "r", "s").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(got == Set(("n1", "r1", Some("s1")), ("n2", "r2", None)))
+    assertThrows[IllegalArgumentException] {
+      bgpOptional(kg,
+        required = Seq(TriplePattern(Var("n"), Const("p:of"), Var("r"))),
+        optional = Seq(Seq(TriplePattern(Var("x"), Const("p:supp"), Var("y")))))
+    }
+  }
+
   test("transitiveClosure: chain and diamond close fully; iterative doubling converges") {
     val sp = spark; import sp.implicits._
     // chain 1→2→3→4 plus a side edge 5→3
