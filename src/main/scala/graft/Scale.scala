@@ -47,8 +47,16 @@ object Scale {
       spark.sparkContext.setLogLevel("WARN")
       val outDir = Bench.newWorkDir(s"graft-scale-$units")
       Bench.pipelineThroughput(spark, sfDir, warmupRep, s"$outDir/warmup")
+      // health-gate each timed run (same discipline as graft.Bench): the
+      // host's memory-write path collapses 50× for minutes at a time, and
+      // although interleaving cancels SLOW drift, a collapse window inside
+      // one level's run poisons that level alone
+      val gate: () => Unit = () => {
+        val (w, g) = Bench.awaitHealthyHost(thresholdGbps = 1.0, maxWaitSec = 90)
+        System.err.println(f"[scale] gate: waited $w%.0f s, probe $g%.2f GB/s")
+      }
       val runs = (1 to iters).map(i =>
-        Bench.pipelineThroughput(spark, sfDir, replication, s"$outDir/quads$i"))
+        Bench.pipelineThroughput(spark, sfDir, replication, s"$outDir/quads$i", preTimed = gate))
       spark.stop()
       try {
         import scala.jdk.CollectionConverters._

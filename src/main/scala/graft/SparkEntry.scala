@@ -322,6 +322,34 @@ object SparkEntry {
       .orderBy("src")
   }
 
+  /** CONSTRUCT over a parsed BGP: derive `?cust <urn:dm:locatedIn>
+    * ?region` triples for customers in ASIA — the query layer's
+    * parse → match → construct path end-to-end.
+    */
+  def kgConstruct(spark: SparkSession, dir: String): DataFrame = {
+    import GraphOps._
+    val bindings = bgp(kgTriples(spark, dir), parsePatterns(
+      """?cust <urn:dm:customer#ref-c_nationkey> ?nation .
+        |?nation <urn:dm:nation#ref-n_regionkey> ?region .
+        |?region <urn:dm:region#r_name> "ASIA"""".stripMargin))
+    construct(bindings, parsePatterns("?cust <urn:dm:locatedIn> ?region"))
+      .orderBy("subj")
+  }
+
+  /** Incremental ingest: the prior run's manifest covers all docs except
+    * doc_id % 10 == 3; only the 10% delta flows through the pipeline.
+    */
+  def jsonldIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Corpus.corpusFlat(spark, dir)
+    val docId = regexp_extract(col("path"), "doc(\\d+)\\.jsonld", 1).cast("long")
+    val prev = corpus.toDF().filter(docId % 10 =!= 3)
+      .select(col("path"), sha2(col("content"), 256).as("content_sha256"))
+    val (pipe, _) = runPipeline(spark, Pipeline.incrementalCorpus(corpus, prev))
+    val quads = Pipeline.dedupQuads(Pipeline.quads(pipe))
+      .select(col("subj"), col("pred"), col("obj"), col("objDatatype").as("dt"))
+    GraphOps.predicateStats(quads).orderBy("pred")
+  }
+
   /** OPTIONAL BGP: every nation (required pattern) with its supplier
     * count — nations without suppliers survive the left join with 0.
     */
@@ -396,7 +424,9 @@ object SparkEntry {
     "kg_bgp_chain" -> (kgBgpChain(_, _)),
     "kg_bgp_star" -> (kgBgpStar(_, _)),
     "kg_bgp_optional" -> (kgBgpOptional(_, _)),
+    "kg_construct" -> (kgConstruct(_, _)),
     "kg_reachability" -> (kgReachability(_, _)),
+    "jsonld_incremental" -> (jsonldIncremental(_, _)),
     "jsonld_graph_stats" -> (jsonldGraphStats(_, _)),
     "jsonld_bgp_sources" -> (jsonldBgpSources(_, _)),
     // curation sampling
@@ -549,6 +579,25 @@ object SparkEntry {
          |WHERE s.pred = 'urn:dm:supplier#ref-s_nationkey'
          |  AND c.pred = 'urn:dm:customer#ref-c_nationkey'
          |GROUP BY s.obj ORDER BY nation""".stripMargin,
+    "kg_construct" ->
+      """SELECT DISTINCT 'urn:dm:customer/'||c_custkey AS subj,
+        |  'urn:dm:locatedIn' AS pred,
+        |  'urn:dm:region/'||r_regionkey AS obj
+        |FROM customer
+        |JOIN nation ON n_nationkey = c_nationkey
+        |JOIN region ON r_regionkey = n_regionkey
+        |WHERE r_name = 'ASIA' ORDER BY subj""".stripMargin,
+    // incremental delta: only doc_id % 10 == 3 is new/changed vs the
+    // prior manifest, so each of the five predicates counts that subset
+    "jsonld_incremental" ->
+      s"""WITH c AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 = 3)
+         |SELECT pred, n AS n_triples FROM (
+         |  SELECT '$RdfType' AS pred, n FROM c
+         |  UNION ALL SELECT '${V}chars', n FROM c
+         |  UNION ALL SELECT '${V}lang', n FROM c
+         |  UNION ALL SELECT '${V}source', n FROM c
+         |  UNION ALL SELECT '${V}text', n FROM c
+         |) ORDER BY pred""".stripMargin,
     "kg_bgp_optional" ->
       s"""WITH $kgQuadsCte
          |SELECT n.subj AS nation, count(s.subj) AS n_suppliers

@@ -163,6 +163,48 @@ object GraphOps {
     }
   }
 
+  /** Parse a terse SPARQL-style basic-graph-pattern block into
+    * [[TriplePattern]]s. Patterns are separated by whitespace-surrounded
+    * dots (`?a <p> ?b . ?b <q> "x"`); terms are `?var`, `<iri>`, or a
+    * double-quoted literal (spaces allowed inside quotes). Deliberately
+    * tiny — the compile target is [[bgp]]/[[bgpOptional]]/[[construct]],
+    * not a full SPARQL grammar.
+    */
+  def parsePatterns(block: String): Seq[TriplePattern] = {
+    val termRe = """"[^"]*"|\S+""".r
+    block.split("""\s+\.\s+|\s+\.\s*$""").toSeq.map(_.trim).filter(_.nonEmpty).map { p =>
+      val toks = termRe.findAllIn(p).toSeq
+      require(toks.length == 3, s"pattern needs exactly 3 terms: '$p'")
+      def term(t: String): Term =
+        if (t.startsWith("?") && t.length > 1) Var(t.drop(1))
+        else if (t.startsWith("<") && t.endsWith(">") && t.length > 2)
+          Const(t.drop(1).dropRight(1))
+        else if (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2)
+          Const(t.drop(1).dropRight(1))
+        else throw new IllegalArgumentException(s"unrecognized term '$t' in '$p'")
+      TriplePattern(term(toks(0)), term(toks(1)), term(toks(2)))
+    }
+  }
+
+  /** SPARQL CONSTRUCT core: instantiate each `template` pattern once per
+    * solution row of `bindings` (a [[bgp]] result) and union into one RDF
+    * graph with set semantics (`distinct` — constructed graphs never hold
+    * duplicate triples). Variables take the binding's value, constants
+    * pass through. Output columns (subj, pred, obj); datatype bookkeeping
+    * is the caller's concern when templates construct literals.
+    */
+  def construct(bindings: DataFrame, template: Seq[TriplePattern]): DataFrame = {
+    require(template.nonEmpty, "empty CONSTRUCT template")
+    def c(t: Term): Column = t match {
+      case Var(n) => col(n)
+      case Const(v) => lit(v)
+    }
+    template.map(p =>
+        bindings.select(c(p.s).as("subj"), c(p.p).as("pred"), c(p.o).as("obj")))
+      .reduce(_.unionByName(_))
+      .distinct()
+  }
+
   /** [[bgp]] plus SPARQL OPTIONAL semantics: each `optional` pattern
     * group left-outer-joins onto the required bindings on their shared
     * variables — required rows survive unmatched with nulls in the

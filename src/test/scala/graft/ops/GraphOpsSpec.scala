@@ -120,6 +120,32 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map("p:x" -> 2L, "p:y" -> 1L))
   }
 
+  test("parsePatterns: vars, IRIs, quoted literals (with spaces), dot separators") {
+    val pats = GraphOps.parsePatterns(
+      """?c <urn:p#in> ?n .
+        |?n <urn:p#name> "MIDDLE EAST" .
+        |?n <urn:p#of> <urn:r/1>""".stripMargin)
+    assert(pats == Seq(
+      TriplePattern(Var("c"), Const("urn:p#in"), Var("n")),
+      TriplePattern(Var("n"), Const("urn:p#name"), Const("MIDDLE EAST")),
+      TriplePattern(Var("n"), Const("urn:p#of"), Const("urn:r/1"))))
+    // trailing dot is tolerated
+    assert(GraphOps.parsePatterns("?a <urn:p> ?b .").length == 1)
+    assertThrows[IllegalArgumentException](GraphOps.parsePatterns("?a <urn:p>"))
+    assertThrows[IllegalArgumentException](GraphOps.parsePatterns("?a bare ?b"))
+  }
+
+  test("construct: template instantiation per binding, set semantics") {
+    val sp = spark; import sp.implicits._
+    val bindings = Seq(("c1", "r1"), ("c2", "r1"), ("c2", "r1")).toDF("cust", "reg")
+    val got = GraphOps.construct(bindings, GraphOps.parsePatterns(
+      "?cust <urn:locatedIn> ?reg . ?reg <urn:hasMember> ?cust"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("c1", "urn:locatedIn", "r1"), ("c2", "urn:locatedIn", "r1"),
+      ("r1", "urn:hasMember", "c1"), ("r1", "urn:hasMember", "c2")))
+  }
+
   test("bgpOptional: unmatched optional rows survive with nulls; unanchored group rejected") {
     val kg = quads(
       ("n1", "p:of", "r1", ""), ("n2", "p:of", "r2", ""),

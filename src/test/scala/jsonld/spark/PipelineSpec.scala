@@ -229,4 +229,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toSeq.mkString("|")).sorted.toSeq
     assert(written == expected, "fused path must produce the exact dedup set")
   }
+
+  test("incrementalCorpus keeps only new files and content changes") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = spark.createDataset(Seq(
+      RepoFile("r", "a.jsonld", "c2", "jsonld", "unchanged"),
+      RepoFile("r", "b.jsonld", "c2", "jsonld", "edited-v2"),
+      RepoFile("r", "c.jsonld", "c2", "jsonld", "brand-new")))(
+      org.apache.spark.sql.Encoders.product[RepoFile])
+    // prior manifest: a with its CURRENT hash (skip), b with a STALE hash
+    // (reprocess), c absent (reprocess)
+    val prev = corpus.toDF().filter(col("path") === "a.jsonld")
+      .select(col("path"), sha2(col("content"), 256).as("content_sha256"))
+      .union(Seq(("b.jsonld", "stale-hash")).toDF("path", "content_sha256"))
+    val got = Pipeline.incrementalCorpus(corpus, prev).collect().map(_.path).toSet
+    assert(got == Set("b.jsonld", "c.jsonld"))
+  }
 }
