@@ -120,6 +120,18 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map("p:x" -> 2L, "p:y" -> 1L))
   }
 
+  test("bgp: constant-only pattern acts as an existence gate") {
+    val kg = quads(("s", "p:flag", "on", ""), ("a", "p:x", "b", ""))
+    val withFlag = bgp(kg, Seq(
+      TriplePattern(Const("s"), Const("p:flag"), Const("on")),
+      TriplePattern(Var("x"), Const("p:x"), Var("y"))))
+    assert(withFlag.count() == 1, "existing constant triple must pass bindings through")
+    val withoutFlag = bgp(kg, Seq(
+      TriplePattern(Const("s"), Const("p:flag"), Const("off")),
+      TriplePattern(Var("x"), Const("p:x"), Var("y"))))
+    assert(withoutFlag.count() == 0, "absent constant triple must gate out all bindings")
+  }
+
   test("parsePatterns: vars, IRIs, quoted literals (with spaces), dot separators") {
     val pats = GraphOps.parsePatterns(
       """?c <urn:p#in> ?n .

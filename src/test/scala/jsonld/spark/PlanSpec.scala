@@ -119,4 +119,39 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p2 = plan(Pipeline.dedupForWrite(q, buckets = 8))
     assert(!p2.contains("Exchange"), s"dedup added a shuffle:\n$p2")
   }
+
+  test("BGP over the bucketed triple table prunes partitions and pushes the pred filter") {
+    import graft.ops.GraphOps, GraphOps._
+    // materialize a triple table the way the pipeline does: partitioned
+    // by predBucket — a constant-predicate BGP pattern must then read
+    // only that predicate's bucket (PartitionFilters) and push the pred
+    // equality into the scan (PushedFilters), not scan the whole graph
+    val quads = spark.range(200).select(
+      concat(lit("s"), col("id")).as("subj"),
+      concat(lit("urn:p"), pmod(col("id"), lit(4))).as("pred"),
+      concat(lit("o"), col("id")).as("obj"),
+      lit("").as("dt"))
+      .withColumn("predBucket", pmod(xxhash64(col("pred")), lit(8)))
+    val dir = java.nio.file.Files.createTempDirectory("bgp-bucketed").toString
+    quads.write.mode("overwrite").partitionBy("predBucket").parquet(dir)
+    val table = spark.read.parquet(dir)
+      .withColumn("wantBucket", pmod(xxhash64(lit("urn:p1")), lit(8)))
+      .filter(col("predBucket") === col("wantBucket"))
+      .drop("wantBucket", "predBucket")
+    val df = bgp(table, Seq(TriplePattern(Var("s"), Const("urn:p1"), Var("o"))))
+    val p = plan(df)
+    assert(p.contains("PartitionFilters") && !p.contains("PartitionFilters: []"),
+      s"no partition pruning on the bucketed triple table:\n$p")
+    assert(p.contains("EqualTo(pred,urn:p1)"), s"pred equality not pushed to the scan:\n$p")
+    assert(df.collect().length == 50, "pruned scan must still return every match")
+  }
+
+  test("transitiveClosure raises instead of returning a partial closure") {
+    import graft.ops.GraphOps
+    val sp = spark; import sp.implicits._
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    assertThrows[IllegalStateException] {
+      GraphOps.transitiveClosure(chain, maxIterations = 1)
+    }
+  }
 }
