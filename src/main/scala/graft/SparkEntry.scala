@@ -336,6 +336,18 @@ object SparkEntry {
       .orderBy("subj")
   }
 
+  /** ASK: is any customer in nation 1? One boolean row. */
+  def kgAsk(spark: SparkSession, dir: String): DataFrame = {
+    import GraphOps._
+    ask(kgTriples(spark, dir), parsePatterns(
+      "?c <urn:dm:customer#ref-c_nationkey> <urn:dm:nation/1>"))
+  }
+
+  /** DESCRIBE nation 1: its own triples plus every edge pointing at it. */
+  def kgDescribe(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.describe(kgTriples(spark, dir), "urn:dm:nation/1")
+      .orderBy("subj", "pred", "obj")
+
   /** Incremental ingest: the prior run's manifest covers all docs except
     * doc_id % 10 == 3; only the 10% delta flows through the pipeline.
     */
@@ -425,6 +437,8 @@ object SparkEntry {
     "kg_bgp_star" -> (kgBgpStar(_, _)),
     "kg_bgp_optional" -> (kgBgpOptional(_, _)),
     "kg_construct" -> (kgConstruct(_, _)),
+    "kg_ask" -> (kgAsk(_, _)),
+    "kg_describe" -> (kgDescribe(_, _)),
     "kg_reachability" -> (kgReachability(_, _)),
     "jsonld_incremental" -> (jsonldIncremental(_, _)),
     "jsonld_graph_stats" -> (jsonldGraphStats(_, _)),
@@ -587,6 +601,14 @@ object SparkEntry {
         |JOIN nation ON n_nationkey = c_nationkey
         |JOIN region ON r_regionkey = n_regionkey
         |WHERE r_name = 'ASIA' ORDER BY subj""".stripMargin,
+    "kg_ask" ->
+      "SELECT EXISTS(SELECT 1 FROM customer WHERE c_nationkey = 1) AS matched",
+    "kg_describe" ->
+      s"""WITH $kgQuadsCte
+         |SELECT subj, pred, obj, dt FROM kg
+         |WHERE subj = 'urn:dm:nation/1'
+         |   OR (obj = 'urn:dm:nation/1' AND dt = '')
+         |ORDER BY subj, pred, obj""".stripMargin,
     // incremental delta: only doc_id % 10 == 3 is new/changed vs the
     // prior manifest, so each of the five predicates counts that subset
     "jsonld_incremental" ->

@@ -205,6 +205,29 @@ object GraphOps {
       .distinct()
   }
 
+  /** SPARQL ASK: does the pattern match at all? One row, one boolean
+    * column `matched`. Plans as the BGP with a `limit 1` on top — the
+    * scan short-circuits at the first solution; no aggregation, no count
+    * of the full solution set.
+    */
+  def ask(quads: DataFrame, patterns: Seq[TriplePattern]): DataFrame = {
+    val one = bgp(quads, patterns).limit(1)
+    one.sparkSession.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(one.count() > 0)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("matched",
+          org.apache.spark.sql.types.BooleanType, nullable = false))))
+  }
+
+  /** SPARQL DESCRIBE (concise bounded description, symmetric flavor):
+    * every triple where the node is the subject, plus every triple
+    * pointing AT the node (IRI objects only). Two pushable equality
+    * filters unioned — no join.
+    */
+  def describe(quads: DataFrame, node: String): DataFrame =
+    quads.filter(col("subj") === lit(node))
+      .unionByName(quads.filter(col("obj") === lit(node) && col("dt") === ""))
+
   /** [[bgp]] plus SPARQL OPTIONAL semantics: each `optional` pattern
     * group left-outer-joins onto the required bindings on their shared
     * variables — required rows survive unmatched with nulls in the

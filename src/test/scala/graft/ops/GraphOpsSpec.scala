@@ -120,6 +120,24 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map("p:x" -> 2L, "p:y" -> 1L))
   }
 
+  test("ask returns one boolean row; describe unions subject and incoming-edge triples") {
+    val kg = quads(
+      ("n1", "p:name", "Nation One", XsdString),
+      ("n1", "p:of", "r1", ""),
+      ("c1", "p:in", "n1", ""),
+      ("x", "p:lit", "n1", XsdString)) // literal that LOOKS like the node — not an edge
+    val hit = GraphOps.ask(kg, Seq(TriplePattern(Var("c"), Const("p:in"), Const("n1"))))
+      .collect()
+    assert(hit.length == 1 && hit(0).getBoolean(0))
+    val miss = GraphOps.ask(kg, Seq(TriplePattern(Var("c"), Const("p:in"), Const("n9"))))
+      .collect()
+    assert(miss.length == 1 && !miss(0).getBoolean(0))
+    val desc = GraphOps.describe(kg, "n1").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(desc == Set(("n1", "p:name"), ("n1", "p:of"), ("c1", "p:in")),
+      "describe must include subject triples + IRI in-edges, not literal lookalikes")
+  }
+
   test("bgp: constant-only pattern acts as an existence gate") {
     val kg = quads(("s", "p:flag", "on", ""), ("a", "p:x", "b", ""))
     val withFlag = bgp(kg, Seq(
