@@ -163,19 +163,6 @@ object Bench {
     (secs, written)
   }
 
-  /** Host calibration: the sandbox VM's CPU and (especially) concurrent
-    * memory-write throughput vary wildly between rounds AND within a
-    * session (measured: 16-writer tmpfs bandwidth ranging 6.8 → 0.1 GB/s
-    * across windows, 20% steal under load). Every benchmark JSON carries
-    * these probes so a reader can tell engine regressions from host
-    * degradation without rerunning anything.
-    *
-    * Probes (~3 s total):
-    *  - sha256 MB/s over an in-heap buffer, 1 thread and 8 threads
-    *    (cache-resident compute — steal/throttle-sensitive, bandwidth-light);
-    *  - tmpfs write GB/s, 1 writer and 8 concurrent writers (the memory
-    *    path the parquet write + shuffle exercise).
-    */
   /** Aggregate GB/s of `writers` concurrent sequential writers to the
     * work root — the memory path that parquet writes and shuffle spill
     * exercise.
@@ -218,6 +205,14 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, last)
   }
 
+  /** Host calibration: the sandbox VM's CPU and (especially) concurrent
+    * memory-write throughput vary wildly between rounds AND within a
+    * session. Every benchmark JSON carries these probes so a reader can
+    * tell engine regressions from host degradation without rerunning
+    * anything. Probes (~3 s total): sha256 MB/s over an in-heap buffer at
+    * 1 and 8 threads (cache-resident compute — steal-sensitive,
+    * bandwidth-light), and [[writeGbps]] at 1 and 8 writers.
+    */
   def hostCalibration(): String = {
     def sha256Mbps(threads: Int): Double = {
       val buf = new Array[Byte](4 << 20)

@@ -245,20 +245,23 @@ object SparkEntry {
     * bigger customer/supplier tables contribute edge-only reference
     * triples (their measure columns don't belong in the graph).
     */
-  def kgTriples(spark: SparkSession, dir: String): DataFrame =
+  /** Fully Direct-Mapped dimension tables (nation + region: literal +
+    * FK-reference triples) — the small half of [[kgTriples]].
+    */
+  private def kgDimensionTriples(spark: SparkSession, dir: String): DataFrame =
     GraphOps.directMapping(t(spark, dir, "nation"), "nation", "n_nationkey",
         refs = Map("n_regionkey" -> "region"))
       .unionByName(GraphOps.directMapping(t(spark, dir, "region"), "region", "r_regionkey"))
+
+  def kgTriples(spark: SparkSession, dir: String): DataFrame =
+    kgDimensionTriples(spark, dir)
       .unionByName(GraphOps.referenceTriples(t(spark, dir, "customer"), "customer",
         "c_custkey", Map("c_nationkey" -> "nation")))
       .unionByName(GraphOps.referenceTriples(t(spark, dir, "supplier"), "supplier",
         "s_suppkey", Map("s_nationkey" -> "nation")))
 
   def kgDirectMapping(spark: SparkSession, dir: String): DataFrame =
-    GraphOps.directMapping(t(spark, dir, "nation"), "nation", "n_nationkey",
-        refs = Map("n_regionkey" -> "region"))
-      .unionByName(GraphOps.directMapping(t(spark, dir, "region"), "region", "r_regionkey"))
-      .orderBy("subj", "pred", "obj")
+    kgDimensionTriples(spark, dir).orderBy("subj", "pred", "obj")
 
   def kgPredicateStats(spark: SparkSession, dir: String): DataFrame =
     GraphOps.predicateStats(kgTriples(spark, dir)).orderBy("pred")
@@ -299,11 +302,16 @@ object SparkEntry {
   /** [[GraphOps.predicateStats]] over the KG the JSON-LD pipeline itself
     * constructs — graph profiling plugged onto the engine's own output.
     */
+  /** Deduped pipeline output projected to the (subj, pred, obj, dt)
+    * shape the graph-query layer consumes.
+    */
+  private def pipelineQuadsDf(pipe: org.apache.spark.sql.Dataset[Pipeline.PipeRow]): DataFrame =
+    Pipeline.dedupQuads(Pipeline.quads(pipe))
+      .select(col("subj"), col("pred"), col("obj"), col("objDatatype").as("dt"))
+
   def jsonldGraphStats(spark: SparkSession, dir: String): DataFrame = {
     val (pipe, _) = runPipeline(spark, Corpus.corpusFlat(spark, dir))
-    val quads = Pipeline.dedupQuads(Pipeline.quads(pipe))
-      .select(col("subj"), col("pred"), col("obj"), col("objDatatype").as("dt"))
-    GraphOps.predicateStats(quads).orderBy("pred")
+    GraphOps.predicateStats(pipelineQuadsDf(pipe)).orderBy("pred")
   }
 
   /** BGP over the pipeline-constructed KG: English-language documents
@@ -312,9 +320,7 @@ object SparkEntry {
   def jsonldBgpSources(spark: SparkSession, dir: String): DataFrame = {
     import GraphOps._
     val (pipe, _) = runPipeline(spark, Corpus.corpusFlat(spark, dir))
-    val quads = Pipeline.dedupQuads(Pipeline.quads(pipe))
-      .select(col("subj"), col("pred"), col("obj"), col("objDatatype").as("dt"))
-    bgp(quads, Seq(
+    bgp(pipelineQuadsDf(pipe), Seq(
       TriplePattern(Var("doc"), Const(s"${V}lang"), Const("en")),
       TriplePattern(Var("doc"), Const(s"${V}source"), Var("src"))))
       .groupBy(col("src"))
@@ -357,9 +363,7 @@ object SparkEntry {
     val prev = corpus.toDF().filter(docId % 10 =!= 3)
       .select(col("path"), sha2(col("content"), 256).as("content_sha256"))
     val (pipe, _) = runPipeline(spark, Pipeline.incrementalCorpus(corpus, prev))
-    val quads = Pipeline.dedupQuads(Pipeline.quads(pipe))
-      .select(col("subj"), col("pred"), col("obj"), col("objDatatype").as("dt"))
-    GraphOps.predicateStats(quads).orderBy("pred")
+    GraphOps.predicateStats(pipelineQuadsDf(pipe)).orderBy("pred")
   }
 
   /** OPTIONAL BGP: every nation (required pattern) with its supplier

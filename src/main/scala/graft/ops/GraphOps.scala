@@ -100,10 +100,7 @@ object GraphOps {
         case None => Seq(literal)
       }
     }
-    table.select(rowIri(tableName, col(pk)).as("subj"), explode(array(entries: _*)).as("po"))
-      .select(col("subj"), col("po.pred").as("pred"), col("po.obj").as("obj"),
-        col("po.dt").as("dt"))
-      .filter(col("obj").isNotNull)
+    explodeTriples(table, tableName, pk, entries)
   }
 
   /** Only the foreign-key reference triples of a table — the edge-only
@@ -118,11 +115,18 @@ object GraphOps {
         rowIri(refTable, col(fkCol)).as("obj"),
         lit("").as("dt"))
     }
+    explodeTriples(table, tableName, pk, entries)
+  }
+
+  /** Shared tail of the mapping operators: row IRI + one `explode` over
+    * the per-row (pred, obj, dt) entries + the spec's null skip.
+    */
+  private def explodeTriples(table: DataFrame, tableName: String, pk: String,
+                             entries: Seq[Column]): DataFrame =
     table.select(rowIri(tableName, col(pk)).as("subj"), explode(array(entries: _*)).as("po"))
       .select(col("subj"), col("po.pred").as("pred"), col("po.obj").as("obj"),
         col("po.dt").as("dt"))
       .filter(col("obj").isNotNull)
-  }
 
   /** Compile a basic graph pattern to a join plan over a (subj, pred, obj[,
     * dt]) triple table. Each pattern becomes a filtered projection (constant
@@ -212,11 +216,7 @@ object GraphOps {
     */
   def ask(quads: DataFrame, patterns: Seq[TriplePattern]): DataFrame = {
     val one = bgp(quads, patterns).limit(1)
-    one.sparkSession.createDataFrame(
-      java.util.List.of(org.apache.spark.sql.Row(one.count() > 0)),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("matched",
-          org.apache.spark.sql.types.BooleanType, nullable = false))))
+    one.sparkSession.range(1).select(lit(one.count() > 0).as("matched"))
   }
 
   /** SPARQL DESCRIBE (concise bounded description, symmetric flavor):
