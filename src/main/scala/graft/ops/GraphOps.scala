@@ -143,9 +143,18 @@ object GraphOps {
     */
   def bgp(quads: DataFrame, patterns: Seq[TriplePattern]): DataFrame = {
     require(patterns.nonEmpty, "empty basic graph pattern")
+    compilePatterns(quads,
+      patterns.map(p => Seq("subj" -> p.s, "pred" -> p.p, "obj" -> p.o)))
+  }
 
-    def one(pat: TriplePattern): DataFrame = {
-      val terms = Seq("subj" -> pat.s, "pred" -> pat.p, "obj" -> pat.o)
+  /** Shared pattern→join compiler behind [[bgp]] and [[bgpQuads]]: each
+    * pattern is a (column, term) list — constants become equality filters,
+    * repeated variables become self-equality filters, variables project —
+    * and patterns fold into joins on shared variable names.
+    */
+  private def compilePatterns(quads: DataFrame,
+                              patterns: Seq[Seq[(String, Term)]]): DataFrame = {
+    def one(terms: Seq[(String, Term)]): DataFrame = {
       val constFilter = terms.collect { case (c, Const(v)) => col(c) === lit(v) }
         .reduceOption(_ && _).getOrElse(lit(true))
       val vars = terms.collect { case (c, Var(n)) => (c, n) }
@@ -160,7 +169,6 @@ object GraphOps {
       if (proj.isEmpty) base.select(lit(1).as("__matched")).limit(1)
       else base.select(proj: _*)
     }
-
     patterns.map(one).reduce { (acc, next) =>
       val shared = acc.columns.toSet.intersect(next.columns.toSet).toSeq.sorted
       if (shared.isEmpty) acc.crossJoin(next) else acc.join(next, shared)
@@ -207,6 +215,20 @@ object GraphOps {
         bindings.select(c(p.s).as("subj"), c(p.p).as("pred"), c(p.o).as("obj")))
       .reduce(_.unionByName(_))
       .distinct()
+  }
+
+  /** [[bgp]] over a QUAD table (subj, pred, obj, graph): each pattern
+    * carries a graph term — SPARQL's `GRAPH ?g { … }` / `GRAPH <iri> { … }`.
+    * A `Const("")` graph term selects the default graph (this engine's
+    * pipeline convention); a graph VARIABLE binds per-quad and joins like
+    * any other variable. Compilation is identical to [[bgp]] with a
+    * fourth term column.
+    */
+  def bgpQuads(quads: DataFrame, patterns: Seq[(Term, TriplePattern)]): DataFrame = {
+    require(patterns.nonEmpty, "empty quad pattern")
+    compilePatterns(quads, patterns.map { case (g, p) =>
+      Seq("subj" -> p.s, "pred" -> p.p, "obj" -> p.o, "graph" -> g)
+    })
   }
 
   /** SPARQL ASK: does the pattern match at all? One row, one boolean

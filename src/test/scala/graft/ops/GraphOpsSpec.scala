@@ -120,6 +120,34 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map("p:x" -> 2L, "p:y" -> 1L))
   }
 
+  test("bgpQuads: constant graph selects one named graph; graph variable joins across quads") {
+    val sp = spark; import sp.implicits._
+    val quadTable = Seq(
+      ("s1", "p:a", "o1", "", "g1"),
+      ("s1", "p:a", "o2", "", "g2"),
+      ("s2", "p:b", "o1", "", "g1"),
+      ("d1", "p:a", "o9", "", "")) // default graph
+      .toDF("subj", "pred", "obj", "dt", "graph")
+    // GRAPH <g1> { ?s p:a ?o }
+    val inG1 = bgpQuads(quadTable,
+      Seq((Const("g1"), TriplePattern(Var("s"), Const("p:a"), Var("o")))))
+      .select("s", "o").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(inG1 == Set(("s1", "o1")))
+    // GRAPH "" — the default graph
+    val inDefault = bgpQuads(quadTable,
+      Seq((Const(""), TriplePattern(Var("s"), Const("p:a"), Var("o")))))
+      .select("s").collect().map(_.getString(0)).toSet
+    assert(inDefault == Set("d1"))
+    // GRAPH ?g { ?s p:a ?o . ?s2 p:b ?o } — graph variable joins both patterns
+    val sameGraph = bgpQuads(quadTable, Seq(
+      (Var("g"), TriplePattern(Var("s"), Const("p:a"), Var("o"))),
+      (Var("g"), TriplePattern(Var("s2"), Const("p:b"), Var("o")))))
+      .select("g", "s", "s2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(sameGraph == Set(("g1", "s1", "s2")),
+      "o1 is shared only inside g1; g2's o2 has no p:b partner")
+  }
+
   test("ask returns one boolean row; describe unions subject and incoming-edge triples") {
     val kg = quads(
       ("n1", "p:name", "Nation One", XsdString),
