@@ -39,10 +39,19 @@ object Scale {
     def label(units: Int): String =
       if (clusterMode) s"$units executors x $coresPerExec cores" else s"local[$units]"
 
-    /** One measured session at `units` parallelism: warmup + `iters`
-      * timed runs, returns the per-run (secs, triples) list.
+    /** One measured run: secs, triples, plus the gate probe taken
+      * immediately before and the post probe immediately after its timed
+      * region — the same auditable clean-window evidence graft.Bench
+      * records, carried into the scaling JSON per run.
       */
-    def session(units: Int, iters: Int, warmupRep: Int): Seq[(Double, Long)] = {
+    case class Run(secs: Double, triples: Long, gateGbps: Double, postGbps: Double) {
+      def clean(floor: Double): Boolean = gateGbps >= floor && postGbps >= floor
+    }
+
+    /** One measured session at `units` parallelism: warmup + `iters`
+      * gated timed runs.
+      */
+    def session(units: Int, iters: Int, warmupRep: Int): Seq[Run] = {
       val spark = Bench.newSessionMaster(master(units))
       spark.sparkContext.setLogLevel("WARN")
       val outDir = Bench.newWorkDir(s"graft-scale-$units")
@@ -51,12 +60,18 @@ object Scale {
       // host's memory-write path collapses 50× for minutes at a time, and
       // although interleaving cancels SLOW drift, a collapse window inside
       // one level's run poisons that level alone
+      var lastGate = 0.0
       val gate: () => Unit = () => {
-        val (w, g) = Bench.awaitHealthyHost(thresholdGbps = 1.0, maxWaitSec = 90)
+        val (w, g) = Bench.awaitHealthyHost(maxWaitSec = 90)
+        lastGate = g
         System.err.println(f"[scale] gate: waited $w%.0f s, probe $g%.2f GB/s")
       }
-      val runs = (1 to iters).map(i =>
-        Bench.pipelineThroughput(spark, sfDir, replication, s"$outDir/quads$i", preTimed = gate))
+      val runs = (1 to iters).map { i =>
+        val (secs, triples) =
+          Bench.pipelineThroughput(spark, sfDir, replication, s"$outDir/quads$i", preTimed = gate)
+        val post = Bench.observeProbe(Bench.writeGbps(8, 64))
+        Run(secs, triples, lastGate, post)
+      }
       spark.stop()
       try {
         import scala.jdk.CollectionConverters._
@@ -68,8 +83,8 @@ object Scale {
 
     // interleave: N, 4N, N, 4N, … so host drift cancels
     val warmupRep = math.max(10, replication / 10)
-    var runsN = Seq.empty[(Double, Long)]
-    var runs4N = Seq.empty[(Double, Long)]
+    var runsN = Seq.empty[Run]
+    var runs4N = Seq.empty[Run]
     (1 to rounds).foreach { r =>
       System.err.println(s"[scale] round $r/${rounds}: ${label(n)}")
       runsN ++= session(n, iters = 2, warmupRep)
@@ -77,14 +92,24 @@ object Scale {
       runs4N ++= session(4 * n, iters = 2, warmupRep)
     }
 
-    val (secsN, triplesN) = runsN.minBy(_._1)
-    val (secs4N, triples4N) = runs4N.minBy(_._1)
-    val thrN = triplesN / secsN
-    val thr4N = triples4N / secs4N
+    // per-level best run, preferring runs whose window was CLEAN against
+    // the final relative floor (Bench.cleanFloor — now that all probes are
+    // in); a level with no clean run falls back to its overall best and
+    // the JSON discloses it via the per-run probe arrays + clean flags
+    val floor = Bench.cleanFloor
+    def best(runs: Seq[Run]): Run = {
+      val clean = runs.filter(_.clean(floor))
+      (if (clean.nonEmpty) clean else runs).minBy(_.secs)
+    }
+    val bN = best(runsN)
+    val b4N = best(runs4N)
+    val thrN = bN.triples / bN.secs
+    val thr4N = b4N.triples / b4N.secs
     val efficiency = (thr4N / thrN) / 4.0
-    val allN = runsN.map(r => f"${r._2 / r._1}%.0f").mkString("[", ",", "]")
-    val all4N = runs4N.map(r => f"${r._2 / r._1}%.0f").mkString("[", ",", "]")
+    def runsJson(runs: Seq[Run]): String = runs.map(r =>
+      f"""{"tps":${r.triples / r.secs}%.0f,"sec":${r.secs}%.2f,"gate_gbps":${r.gateGbps}%.2f,"post_gbps":${r.postGbps}%.2f,"clean":${r.clean(floor)}}""")
+      .mkString("[", ",", "]")
 
-    println(f"""{"metric":"scaling_efficiency","value":$efficiency%.3f,"unit":"ratio","mode":"${if (clusterMode) "local-cluster" else "local"}","n_units":"${label(n)}","throughput_n":$thrN%.1f,"sec_n":$secsN%.2f,"n4_units":"${label(4 * n)}","throughput_4n":$thr4N%.1f,"sec_4n":$secs4N%.2f,"triples":$triplesN,"all_n":$allN,"all_4n":$all4N,"sf":"$sfDir","replication":$replication}""")
+    println(f"""{"metric":"scaling_efficiency","value":$efficiency%.3f,"unit":"ratio","mode":"${if (clusterMode) "local-cluster" else "local"}","n_units":"${label(n)}","throughput_n":$thrN%.1f,"sec_n":${bN.secs}%.2f,"n4_units":"${label(4 * n)}","throughput_4n":$thr4N%.1f,"sec_4n":${b4N.secs}%.2f,"triples":${bN.triples},"clean_floor_gbps":$floor%.2f,"clean_n":${bN.clean(floor)},"clean_4n":${b4N.clean(floor)},"runs_n":${runsJson(runsN)},"runs_4n":${runsJson(runs4N)},"sf":"$sfDir","replication":$replication}""")
   }
 }

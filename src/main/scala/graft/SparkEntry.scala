@@ -253,12 +253,26 @@ object SparkEntry {
         refs = Map("n_regionkey" -> "region"))
       .unionByName(GraphOps.directMapping(t(spark, dir, "region"), "region", "r_regionkey"))
 
+  /** Memoized + Spark-cached per (session, dir): every gated graph query
+    * joins several BGP legs against this table, and without the cache
+    * each leg re-scans the union-of-explodes plan (each dimension table
+    * read once PER PATTERN). At 100× scale the constructed KG is a
+    * stored table that queries scan once — caching here makes the gated
+    * plans match that shape exactly.
+    */
+  private val kgTriplesCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def kgTriples(spark: SparkSession, dir: String): DataFrame =
-    kgDimensionTriples(spark, dir)
-      .unionByName(GraphOps.referenceTriples(t(spark, dir, "customer"), "customer",
-        "c_custkey", Map("c_nationkey" -> "nation")))
-      .unionByName(GraphOps.referenceTriples(t(spark, dir, "supplier"), "supplier",
-        "s_suppkey", Map("s_nationkey" -> "nation")))
+    kgTriplesCache.computeIfAbsent((spark, dir), { case (s, d) =>
+      val df = kgDimensionTriples(s, d)
+        .unionByName(GraphOps.referenceTriples(t(s, d, "customer"), "customer",
+          "c_custkey", Map("c_nationkey" -> "nation")))
+        .unionByName(GraphOps.referenceTriples(t(s, d, "supplier"), "supplier",
+          "s_suppkey", Map("s_nationkey" -> "nation")))
+      df.cache()
+      df
+    })
 
   def kgDirectMapping(spark: SparkSession, dir: String): DataFrame =
     kgDimensionTriples(spark, dir).orderBy("subj", "pred", "obj")
@@ -401,6 +415,98 @@ object SparkEntry {
       .orderBy("nation")
   }
 
+  /** Named-graph KG: the Direct-Mapped triples with a `graph` column —
+    * nation triples land in a per-region graph (`urn:g:region/<rk>`),
+    * region triples in `urn:g:meta`, customer references in the default
+    * graph (`""`). The per-region placement makes the graph-VARIABLE
+    * join discriminating: two patterns on different subjects co-occur
+    * only when their quads share a graph.
+    */
+  private def kgNamedGraphQuads(spark: SparkSession, dir: String): DataFrame = {
+    val nation = t(spark, dir, "nation")
+    val nationG = GraphOps.directMapping(nation, "nation", "n_nationkey",
+        refs = Map("n_regionkey" -> "region"))
+      .join(nation.select(GraphOps.rowIri("nation", col("n_nationkey")).as("subj"),
+        concat(lit("urn:g:region/"), col("n_regionkey")).as("graph")), "subj")
+    val regionG = GraphOps.directMapping(t(spark, dir, "region"), "region", "r_regionkey")
+      .withColumn("graph", lit("urn:g:meta"))
+    val custG = GraphOps.referenceTriples(t(spark, dir, "customer"), "customer",
+        "c_custkey", Map("c_nationkey" -> "nation"))
+      .withColumn("graph", lit(""))
+    nationG.unionByName(regionG).unionByName(custG)
+  }
+
+  /** GRAPH patterns over the named-graph KG — three labeled parts, one
+    * per quad-pattern feature: constant graph, the default graph (`""`),
+    * and a graph-variable join (nations pair up only within their shared
+    * per-region graph, so the count is Σ_regions |nations_r|² — a plan
+    * that ignored the graph term would return |nations|²).
+    */
+  def kgGraphPatterns(spark: SparkSession, dir: String): DataFrame = {
+    import GraphOps._
+    val quads = kgNamedGraphQuads(spark, dir)
+    val constG = bgpQuads(quads, Seq(
+      (Const("urn:g:meta"), TriplePattern(Var("r"), Const("urn:dm:region#r_name"), Var("name")))))
+      .agg(count(lit(1)).as("n")).select(lit("const_graph").as("part"), col("n"))
+    val defaultG = bgpQuads(quads, Seq(
+      (Const(""), TriplePattern(Var("c"), Const("urn:dm:customer#ref-c_nationkey"), Var("n")))))
+      .agg(count(lit(1)).as("n")).select(lit("default_graph").as("part"), col("n"))
+    val varJoin = bgpQuads(quads, Seq(
+      (Var("g"), TriplePattern(Var("a"), Const("urn:dm:nation#n_name"), Var("an"))),
+      (Var("g"), TriplePattern(Var("b"), Const("urn:dm:nation#ref-n_regionkey"), Var("rg")))))
+      .agg(count(lit(1)).as("n")).select(lit("graph_var_join").as("part"), col("n"))
+    constG.unionByName(defaultG).unionByName(varJoin).orderBy("part")
+  }
+
+  /** FILTER in the BGP compiler, through the parser: nations with
+    * region key ≥ 2 (numeric — lexical compare would misplace "10"),
+    * minus one by name (string).
+    */
+  def kgBgpFilter(spark: SparkSession, dir: String): DataFrame = {
+    import GraphOps._
+    bgpQuery(kgTriples(spark, dir), parseQuery(
+      """?n <urn:dm:nation#n_regionkey> ?rk . ?n <urn:dm:nation#n_name> ?name .
+        |FILTER(?rk >= 2) . FILTER(?name != "CHINA")""".stripMargin))
+      .select(col("n").as("nation"), col("name"), col("rk"))
+      .orderBy("nation")
+  }
+
+  /** UNION of pattern groups: suppliers ∪ customers per nation — members
+    * counted per nation node across both branches.
+    */
+  def kgBgpUnion(spark: SparkSession, dir: String): DataFrame = {
+    import GraphOps._
+    bgpUnion(kgTriples(spark, dir), Seq(
+      Seq(TriplePattern(Var("m"), Const("urn:dm:supplier#ref-s_nationkey"), Var("n"))),
+      Seq(TriplePattern(Var("m"), Const("urn:dm:customer#ref-c_nationkey"), Var("n")))))
+      .groupBy(col("n").as("nation"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("nation")
+  }
+
+  /** Property path `p+` through the BGP bridge: the document parent tree
+    * as `urn:p:parent` triples plus literal `urn:p:lang` triples;
+    * `?d <urn:p:parent>+ ?a . ?a <urn:p:lang> "en"` counts each
+    * document's English-language proper ancestors.
+    */
+  def kgPathPlus(spark: SparkSession, dir: String): DataFrame = {
+    import GraphOps._
+    val docs = t(spark, dir, "documents")
+    val docIri = (c: org.apache.spark.sql.Column) => concat(lit("urn:doc:"), c)
+    val parentEdges = docs.filter(col("doc_id") > 0)
+      .select(docIri(col("doc_id")).as("subj"), lit("urn:p:parent").as("pred"),
+        docIri(expr("doc_id div 2")).as("obj"), lit("").as("dt"))
+    val langTriples = docs.select(docIri(col("doc_id")).as("subj"),
+      lit("urn:p:lang").as("pred"), col("lang").as("obj"),
+      lit(GraphOps.XsdString).as("dt"))
+    bgp(withPathClosure(parentEdges.unionByName(langTriples), "urn:p:parent"), Seq(
+      TriplePattern(Var("d"), Const("urn:p:parent+"), Var("a")),
+      TriplePattern(Var("a"), Const("urn:p:lang"), Const("en"))))
+      .groupBy(col("d").as("doc"))
+      .agg(count(lit(1)).as("n_en_ancestors"))
+      .orderBy("doc")
+  }
+
   // --------------------------------------------------------------- map
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -440,6 +546,10 @@ object SparkEntry {
     "kg_bgp_chain" -> (kgBgpChain(_, _)),
     "kg_bgp_star" -> (kgBgpStar(_, _)),
     "kg_bgp_optional" -> (kgBgpOptional(_, _)),
+    "kg_bgp_filter" -> (kgBgpFilter(_, _)),
+    "kg_bgp_union" -> (kgBgpUnion(_, _)),
+    "kg_graph_patterns" -> (kgGraphPatterns(_, _)),
+    "kg_path_plus" -> (kgPathPlus(_, _)),
     "kg_construct" -> (kgConstruct(_, _)),
     "kg_ask" -> (kgAsk(_, _)),
     "kg_describe" -> (kgDescribe(_, _)),
@@ -624,6 +734,43 @@ object SparkEntry {
          |  UNION ALL SELECT '${V}source', n FROM c
          |  UNION ALL SELECT '${V}text', n FROM c
          |) ORDER BY pred""".stripMargin,
+    // FILTER: numeric operand compares as double (lexical would misplace
+    // "10"), string operand lexically — mirrored in the WHERE clause
+    "kg_bgp_filter" ->
+      """SELECT 'urn:dm:nation/'||n_nationkey AS nation, n_name AS name,
+        |  CAST(n_regionkey AS VARCHAR) AS rk
+        |FROM nation WHERE n_regionkey >= 2 AND n_name <> 'CHINA'
+        |ORDER BY nation""".stripMargin,
+    "kg_bgp_union" ->
+      """SELECT nation, count(*) AS n_members FROM (
+        |  SELECT 'urn:dm:nation/'||s_nationkey AS nation FROM supplier
+        |  UNION ALL SELECT 'urn:dm:nation/'||c_nationkey FROM customer)
+        |GROUP BY nation ORDER BY nation""".stripMargin,
+    // GRAPH patterns: constant graph = region count; default graph =
+    // customer count; graph-variable join = Σ_regions |nations_r|²
+    // (nations pair only within their shared per-region graph — a plan
+    // that dropped the graph term would square the whole nation count)
+    "kg_graph_patterns" ->
+      """SELECT part, n FROM (
+        |  SELECT 'const_graph' AS part, count(*) AS n FROM region
+        |  UNION ALL SELECT 'default_graph', count(*) FROM customer
+        |  UNION ALL SELECT 'graph_var_join', (
+        |    SELECT CAST(sum(c * c) AS BIGINT) FROM (
+        |      SELECT count(*) AS c FROM nation GROUP BY n_regionkey))
+        |) ORDER BY part""".stripMargin,
+    // property path p+ through the BGP bridge: English proper ancestors
+    // per document over the deterministic doc_id → doc_id div 2 tree
+    "kg_path_plus" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id AS src, doc_id // 2 AS dst FROM documents WHERE doc_id > 0),
+        |tc(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT tc.src, e.dst FROM tc JOIN e ON e.src = tc.dst)
+        |SELECT 'urn:doc:'||tc.src AS doc, count(*) AS n_en_ancestors
+        |FROM tc JOIN documents d ON d.doc_id = tc.dst
+        |WHERE d.lang = 'en'
+        |GROUP BY tc.src ORDER BY doc""".stripMargin,
     "kg_bgp_optional" ->
       s"""WITH $kgQuadsCte
          |SELECT n.subj AS nation, count(s.subj) AS n_suppliers

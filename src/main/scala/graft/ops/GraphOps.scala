@@ -178,24 +178,104 @@ object GraphOps {
   /** Parse a terse SPARQL-style basic-graph-pattern block into
     * [[TriplePattern]]s. Patterns are separated by whitespace-surrounded
     * dots (`?a <p> ?b . ?b <q> "x"`); terms are `?var`, `<iri>`, or a
-    * double-quoted literal (spaces allowed inside quotes). Deliberately
+    * double-quoted literal (spaces — and standalone dots — allowed inside
+    * quotes: the block is TOKENIZED first, then split on `.` tokens, so a
+    * literal like `"one . two"` never splits a pattern). Deliberately
     * tiny — the compile target is [[bgp]]/[[bgpOptional]]/[[construct]],
     * not a full SPARQL grammar.
     */
   def parsePatterns(block: String): Seq[TriplePattern] = {
     val termRe = """"[^"]*"|\S+""".r
-    block.split("""\s+\.\s+|\s+\.\s*$""").toSeq.map(_.trim).filter(_.nonEmpty).map { p =>
-      val toks = termRe.findAllIn(p).toSeq
-      require(toks.length == 3, s"pattern needs exactly 3 terms: '$p'")
+    val toks = termRe.findAllIn(block).toSeq
+    // split the token stream on standalone "." separators (a quoted " . "
+    // is already one literal token and can't match here)
+    val groups = toks.foldLeft(List(List.empty[String])) { (acc, t) =>
+      if (t == ".") List.empty[String] :: acc else (t :: acc.head) :: acc.tail
+    }.map(_.reverse).reverse.filter(_.nonEmpty)
+    groups.map { p =>
+      require(p.length == 3, s"pattern needs exactly 3 terms: '${p.mkString(" ")}'")
       def term(t: String): Term =
         if (t.startsWith("?") && t.length > 1) Var(t.drop(1))
         else if (t.startsWith("<") && t.endsWith(">") && t.length > 2)
           Const(t.drop(1).dropRight(1))
         else if (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2)
           Const(t.drop(1).dropRight(1))
-        else throw new IllegalArgumentException(s"unrecognized term '$t' in '$p'")
-      TriplePattern(term(toks(0)), term(toks(1)), term(toks(2)))
+        else throw new IllegalArgumentException(s"unrecognized term '$t' in '${p.mkString(" ")}'")
+      TriplePattern(term(p(0)), term(p(1)), term(p(2)))
     }
+  }
+
+  /** A parsed `FILTER(?var op operand)` constraint: `op` is one of
+    * `= != < <= > >=`; the operand is numeric (`Left` — both sides
+    * compare as doubles, so literal "42" matches 42.0) or a quoted
+    * string (`Right` — lexical comparison).
+    */
+  final case class VarFilter(variable: String, op: String, operand: Either[Double, String]) {
+    def column: Column = {
+      val (l, r) = operand match {
+        case Left(num) => (col(variable).cast("double"), lit(num))
+        case Right(s) => (col(variable), lit(s))
+      }
+      op match {
+        case "=" => l === r
+        case "!=" => l =!= r
+        case "<" => l < r
+        case "<=" => l <= r
+        case ">" => l > r
+        case ">=" => l >= r
+        case other => throw new IllegalArgumentException(s"unsupported FILTER op '$other'")
+      }
+    }
+  }
+
+  final case class ParsedQuery(patterns: Seq[TriplePattern], filters: Seq[VarFilter])
+
+  private val FilterRe =
+    """(?i)FILTER\s*\(\s*\?(\w+)\s*(=|!=|<=|>=|<|>)\s*("[^"]*"|[^\s()]+)\s*\)""".r
+
+  /** [[parsePatterns]] plus SPARQL's most common constraint form:
+    * `FILTER(?v op const)` clauses anywhere in the block (numeric or
+    * quoted-string operand). Returns the patterns and the parsed filters;
+    * compile with [[bgpFiltered]].
+    */
+  def parseQuery(block: String): ParsedQuery = {
+    val filters = FilterRe.findAllMatchIn(block).map { m =>
+      val raw = m.group(3)
+      val operand =
+        if (raw.startsWith("\"") && raw.endsWith("\"")) Right(raw.drop(1).dropRight(1))
+        else Left(raw.toDouble) // malformed operand → NumberFormatException, loudly
+      VarFilter(m.group(1), m.group(2), operand)
+    }.toSeq
+    ParsedQuery(parsePatterns(FilterRe.replaceAllIn(block, " ")), filters)
+  }
+
+  /** [[bgp]] with post-join FILTER constraints: each filter is one
+    * `Column` predicate over the solution bindings. Catalyst pushes a
+    * filter that touches a single pattern's variable back below the join
+    * on its own — declaring it post-join keeps SPARQL's semantics (filters
+    * see the whole solution row) without giving up pushdown.
+    */
+  def bgpFiltered(quads: DataFrame, patterns: Seq[TriplePattern],
+                  filters: Seq[VarFilter]): DataFrame =
+    filters.foldLeft(bgp(quads, patterns))((acc, f) => acc.filter(f.column))
+
+  /** Run a parsed query (patterns + filters) — the one-call form of
+    * `bgpFiltered(quads, q.patterns, q.filters)`.
+    */
+  def bgpQuery(quads: DataFrame, q: ParsedQuery): DataFrame =
+    bgpFiltered(quads, q.patterns, q.filters)
+
+  /** SPARQL UNION over pattern groups: each group compiles independently
+    * via [[bgp]] and the solution sets union by variable NAME — a variable
+    * bound in one branch but not another is null (unbound) in the rows
+    * from the branch that lacks it, exactly UNION's disjoint-binding
+    * semantics. Bag semantics (no dedup), as in SPARQL; wrap in
+    * `.distinct()` for DISTINCT.
+    */
+  def bgpUnion(quads: DataFrame, groups: Seq[Seq[TriplePattern]]): DataFrame = {
+    require(groups.nonEmpty, "empty UNION")
+    groups.map(g => bgp(quads, g))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** SPARQL CONSTRUCT core: instantiate each `template` pattern once per
@@ -232,14 +312,16 @@ object GraphOps {
   }
 
   /** SPARQL ASK: does the pattern match at all? One row, one boolean
-    * column `matched`. Plans as the BGP with a `limit 1` on top — the
-    * scan short-circuits at the first solution; no aggregation, no count
-    * of the full solution set.
+    * column `matched`. A LAZY plan like every other operator here — a
+    * global aggregate over the BGP with a `limit 1` in between, so the
+    * scan short-circuits at the first solution and no job runs until the
+    * caller acts on the result (round-3 version counted eagerly at
+    * construction — surprising for a DataFrame-returning API).
     */
-  def ask(quads: DataFrame, patterns: Seq[TriplePattern]): DataFrame = {
-    val one = bgp(quads, patterns).limit(1)
-    one.sparkSession.range(1).select(lit(one.count() > 0).as("matched"))
-  }
+  def ask(quads: DataFrame, patterns: Seq[TriplePattern]): DataFrame =
+    bgp(quads, patterns).limit(1)
+      .select(lit(1).as("one"))
+      .agg((count(col("one")) > 0).as("matched"))
 
   /** SPARQL DESCRIBE (concise bounded description, symmetric flavor):
     * every triple where the node is the subject, plus every triple
@@ -304,6 +386,51 @@ object GraphOps {
           "(cycle-free depth > 2^rounds, or a dense quadratic closure) — raise maxIterations")
     paths
   }
+
+  /** SPARQL property path `p+` (one-or-more): the [[transitiveClosure]]
+    * of the constant-predicate edge set — every (subj, obj) pair
+    * connected by ≥ 1 hop of `pred` (IRI objects only: literals don't
+    * form edges). Output columns (src, dst).
+    *
+    * NOTE: iterative — materializes the closure when CALLED (the closure
+    * loop runs Spark jobs), unlike the lazy single-plan operators here.
+    * Same caveat as [[transitiveClosure]]: intended for hierarchy-shaped
+    * predicates (rdfs:subClassOf, skos:broader, parent trees), where the
+    * closure stays near-linear.
+    */
+  def pathPlus(quads: DataFrame, pred: String, maxIterations: Int = 20): DataFrame =
+    transitiveClosure(
+      quads.filter(col("pred") === lit(pred) && col("dt") === "")
+        .select(col("subj").as("src"), col("obj").as("dst")),
+      maxIterations)
+
+  /** `p*` (zero-or-more): [[pathPlus]] plus the identity pair for every
+    * node incident to a `pred` edge — SPARQL's zero-length path over the
+    * predicate's domain∪range.
+    */
+  def pathStar(quads: DataFrame, pred: String, maxIterations: Int = 20): DataFrame = {
+    val edges = quads.filter(col("pred") === lit(pred) && col("dt") === "")
+      .select(col("subj").as("src"), col("obj").as("dst"))
+    val nodes = edges.select(col("src").as("n"))
+      .union(edges.select(col("dst").as("n"))).distinct()
+    pathPlus(quads, pred, maxIterations)
+      .unionByName(nodes.select(col("n").as("src"), col("n").as("dst")))
+      .distinct()
+  }
+
+  /** Bridge a property path into the BGP compiler: augments the triple
+    * table with VIRTUAL triples `(s, "<pred>+", o, "")` for the closure
+    * of `pred`, so a pattern can say
+    * `TriplePattern(Var("x"), Const(pred + "+"), Var("anc"))` and join
+    * like any other pattern. At 100× scale the closure of a stored
+    * hierarchy predicate would itself be a materialized (incrementally
+    * maintained) table — this constructs exactly that shape.
+    */
+  def withPathClosure(quads: DataFrame, pred: String, maxIterations: Int = 20): DataFrame =
+    quads.unionByName(
+      pathPlus(quads, pred, maxIterations).select(
+        col("src").as("subj"), lit(pred + "+").as("pred"),
+        col("dst").as("obj"), lit("").as("dt")))
 
   /** Triple count per predicate — the first profiling query over any
     * freshly constructed KG. One hash aggregation with map-side partials.

@@ -240,6 +240,90 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraphOps.transitiveClosure(empty).count() == 0)
   }
 
+  test("ask is lazy: construction runs no Spark job") {
+    val kg = quads(("a", "p:x", "b", ""))
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val plan = GraphOps.ask(kg, Seq(TriplePattern(Var("s"), Const("p:x"), Var("o"))))
+      Thread.sleep(500) // listener bus is async — give a stray job time to surface
+      assert(jobs == 0, "building the ASK DataFrame must not execute anything")
+      val got = plan.collect()
+      assert(got.length == 1 && got(0).getBoolean(0))
+      Thread.sleep(500)
+      assert(jobs > 0, "collect() must be what runs the job")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("parsePatterns: quoted literal containing ' . ' does not split the pattern") {
+    val pats = GraphOps.parsePatterns(
+      """?a <urn:p#note> "one . two" . ?a <urn:p#of> ?b""")
+    assert(pats == Seq(
+      TriplePattern(Var("a"), Const("urn:p#note"), Const("one . two")),
+      TriplePattern(Var("a"), Const("urn:p#of"), Var("b"))))
+  }
+
+  test("parseQuery: FILTER clauses extract (numeric + string), patterns parse around them") {
+    val q = GraphOps.parseQuery(
+      """?n <urn:p#rk> ?rk . FILTER(?rk >= 2) .
+        |?n <urn:p#name> ?name . FILTER(?name != "EGYPT")""".stripMargin)
+    assert(q.patterns.length == 2)
+    assert(q.filters == Seq(
+      VarFilter("rk", ">=", Left(2.0)),
+      VarFilter("name", "!=", Right("EGYPT"))))
+  }
+
+  test("bgpFiltered: numeric filter casts the lexical form; string filter compares lexically") {
+    val kg = quads(
+      ("n1", "p:rk", "1", XsdInteger), ("n2", "p:rk", "2", XsdInteger),
+      ("n3", "p:rk", "10", XsdInteger),
+      ("n1", "p:name", "ALGERIA", XsdString), ("n2", "p:name", "BRAZIL", XsdString),
+      ("n3", "p:name", "CANADA", XsdString))
+    val got = bgpQuery(kg, GraphOps.parseQuery(
+      """?n <p:rk> ?rk . ?n <p:name> ?name . FILTER(?rk >= 2) . FILTER(?name != "CANADA")"""))
+      .select("n").collect().map(_.getString(0)).toSet
+    // numeric: "10" ≥ 2 holds (lexical compare would put "10" < "2")
+    assert(got == Set("n2"), "n3 is dropped by the string filter, n1 by the numeric one")
+  }
+
+  test("bgpUnion: branch solutions union by name; vars missing in a branch are null") {
+    val kg = quads(
+      ("s1", "p:supp", "n1", ""), ("c1", "p:cust", "n1", ""), ("c2", "p:cust", "n2", ""))
+    val got = bgpUnion(kg, Seq(
+      Seq(TriplePattern(Var("m"), Const("p:supp"), Var("n"))),
+      Seq(TriplePattern(Var("m"), Const("p:cust"), Var("n")),
+        TriplePattern(Var("m"), Const("p:cust"), Var("n2")))))
+      .select("m", "n", "n2").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(got == Set(
+      ("s1", "n1", None), // supp branch has no n2 → null
+      ("c1", "n1", Some("n1")), ("c2", "n2", Some("n2"))))
+  }
+
+  test("pathPlus/pathStar close a hierarchy predicate; withPathClosure joins as a virtual pattern") {
+    val kg = quads(
+      ("a", "p:broader", "b", ""), ("b", "p:broader", "c", ""),
+      ("b", "p:label", "mid", XsdString), // literal — not an edge
+      ("x", "p:other", "y", ""))
+    val plus = GraphOps.pathPlus(kg, "p:broader").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(plus == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    val star = GraphOps.pathStar(kg, "p:broader").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(star == plus ++ Set(("a", "a"), ("b", "b"), ("c", "c")))
+    // bridge: ?d <p:broader+> ?anc joins into a BGP like any pattern
+    val got = bgp(GraphOps.withPathClosure(kg, "p:broader"), Seq(
+      TriplePattern(Var("d"), Const("p:broader+"), Var("anc")),
+      TriplePattern(Var("d"), Const("p:label"), Var("lbl"))))
+      .select("d", "anc", "lbl").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("b", "c", "mid")))
+  }
+
   test("stratifiedSample: deterministic across runs, honors 0/1 rates, subset semantics") {
     val sp = spark; import sp.implicits._
     val docs = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")
