@@ -222,6 +222,18 @@ object SparkEntry {
       MultimodalOps.extractFeatures(MultimodalOps.mediaTable(spark, dir)))
       .orderBy("kind")
 
+  /** REAL image decode end-to-end: synthesize genuine PNGs executor-side,
+    * decode them back through `javax.imageio`, report header truth. The
+    * oracle asserts the decoded dimensions against the generator formula —
+    * the values round-trip through actual PNG encode/decode, so any
+    * plumbing error (dropped rows, flipped dims, wrong band count) fails
+    * the hash.
+    */
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.decodeImages(MultimodalOps.imageTable(spark, dir)).toDF()
+      .select(col("mediaId").as("media_id"), col("width"), col("height"), col("channels"))
+      .orderBy("media_id")
+
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     // coarse quantizer: 16 deterministic centroids (vec_id 1..16 — stands
     // in for an offline-trained codebook); driver-collects 16 rows, the
@@ -559,8 +571,9 @@ object SparkEntry {
     "jsonld_bgp_sources" -> (jsonldBgpSources(_, _)),
     // curation sampling
     "sample_stratified" -> (sampleStratified(_, _)),
-    // multimodal plumbing
-    "multimodal_features" -> (multimodalFeatures(_, _))
+    // multimodal plumbing + real image decode
+    "multimodal_features" -> (multimodalFeatures(_, _)),
+    "multimodal_decode" -> (multimodalDecode(_, _))
   )
 
   // ------------------------------------------------------------ oracles
@@ -1008,6 +1021,15 @@ object SparkEntry {
       s"""SELECT doc_id, CAST(list_reduce(list_prepend('0', $wordsSql),
          |    (a, w) -> CAST(${h60Sql("a || '|' || w")} AS VARCHAR)) AS BIGINT) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // real PNG decode: width/height/channels must equal the generator
+    // formula AFTER round-tripping through actual javax.imageio
+    // encode→decode (TYPE_3BYTE_BGR → 3 raster bands)
+    "multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(doc_id % 64 + 8 AS INT) AS width,
+        |  CAST(doc_id % 48 + 8 AS INT) AS height,
+        |  CAST(3 AS INT) AS channels
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin,
     // multimodal plumbing: kind/bytes from metadata; the stub feature is
     // h60(payload || ':f0') scaled to [0,1) as FLOAT, quantized to integer
     // micro-units BEFORE summing (order-independent aggregate)

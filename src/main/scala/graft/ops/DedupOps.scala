@@ -256,6 +256,81 @@ object DedupOps {
     labels.union(singletons)
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+    * (the MapReduce CC algorithm of Kiveris et al., "Connected Components
+    * in MapReduce and Beyond"): each round rewires every node toward the
+    * minimum of its neighborhood —
+    *
+    *  - large-star: every neighbor LARGER than u re-attaches to
+    *    `m = min(N(u) ∪ {u})`;
+    *  - small-star: every neighbor ≤ u (and u itself) re-attaches to the
+    *    minimum of that smaller side.
+    *
+    * Converges when the edge set reaches a fixpoint — at which point the
+    * graph is a forest of stars, each centered at its component's minimum
+    * id. Round count is O(log n) even on a DIAMETER-n chain, where plain
+    * min-label propagation ([[connectedComponents]]) needs O(n) rounds:
+    * this is the variant for adversarially long duplicate chains. Each
+    * round costs two groupBy-min aggregations and two joins (vs one+one
+    * for label propagation), all on uniform node-id keys, so label
+    * propagation remains the default for the short-diameter graphs LSH
+    * dedup actually produces.
+    *
+    * Output contract identical to [[connectedComponents]]: (id,
+    * component) for every node in `nodes`, singletons self-labeled;
+    * raises on non-convergence. Same 100-TB swap: localCheckpoint →
+    * reliable checkpoint.
+    */
+  def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
+                              maxIterations: Int = 30): DataFrame = {
+    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+        Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+    var e = edges.select(col("a"), col("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    var prev = checksum(e)
+    var converged = prev._1 == 0 // no non-loop edges → nothing to iterate
+    var i = 0
+    while (!converged && i < maxIterations) {
+      // large-star over the symmetric view: neighbors ABOVE u hook to
+      // m = min(N(u) ∪ {u})
+      val s = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = s.groupBy("a").agg(min("b").as("mn"))
+      val ls = s.join(mins, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), least(col("a"), col("mn")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      // small-star over the canonical (larger → smaller) orientation:
+      // the ≤ side of every node (plus the node) hooks to its minimum
+      val canon = ls.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      val mins2 = canon.groupBy("u").agg(min("v").as("m"))
+      val withM = canon.join(mins2, "u")
+      val ss = withM.select(col("v").as("a"), col("m").as("b"))
+        .union(withM.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      val cs = checksum(ss)
+      converged = cs == prev
+      prev = cs
+      e = ss
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIterations rounds — raise maxIterations")
+    // fixpoint edge set = star edges (member → component-min center)
+    val members = e.select(col("a").as("id"), col("b").as("component"))
+    val centers = e.select(col("b").as("id"), col("b").as("component")).distinct()
+    val labeled = members.union(centers)
+    val singletons = nodes.select(col("id"))
+      .join(labeled.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    labeled.union(singletons)
+  }
+
   /** Duplicate clusters: connected components over the union of exact
     * duplicate pairs and verified MinHash near-dup pairs, labeling EVERY
     * document with its cluster representative (min doc id; singletons
@@ -267,13 +342,19 @@ object DedupOps {
   def duplicateClusters(docs: DataFrame, text: Column, id: Column,
                         n: Int = 3, k: Int = 32, bands: Int = 8,
                         threshold: Double = 0.5, maxBucket: Int = 1000,
-                        maxIterations: Int = 20): DataFrame = {
+                        maxIterations: Int = 20,
+                        algorithm: String = "label"): DataFrame = {
     val near = minhashNearDuplicates(docs, text, id, n, k, bands, threshold, maxBucket)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val exact = exactDuplicatePairs(docs, text, id)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    connectedComponents(docs.select(id.as("id")), near.union(exact), maxIterations)
-      .select(col("id").as("doc_id"), col("component").as("cluster_rep"))
+    val cc = algorithm match {
+      case "label" => connectedComponents(docs.select(id.as("id")), near.union(exact), maxIterations)
+      case "star" => connectedComponentsStar(docs.select(id.as("id")), near.union(exact), maxIterations)
+      case other => throw new IllegalArgumentException(
+        s"unknown clustering algorithm '$other' (label | star)")
+    }
+    cc.select(col("id").as("doc_id"), col("component").as("cluster_rep"))
   }
 
   /** Exact word-set Jaccard between each doc and its successor — a linear

@@ -6,11 +6,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: media payloads as opaque `binary` columns
   * with typed metadata, and batch feature extraction.
   *
-  * The Spark-side plumbing (schema, batch shape, partitioning) is real and
-  * tested; the actual media decode is STUBBED with a deterministic fake —
-  * image/audio codec libraries are not available in this environment. The
-  * stub boundary is `decodeStub`: swap in a real decoder (e.g. a JNI
-  * binding or `mapInPandas` on PySpark) without touching the plumbing.
+  * Two decode tiers:
+  *  - IMAGE decode is REAL: [[imageTable]] synthesizes genuine PNG bytes
+  *    (deterministic pixels, dimensions derived from the media id) and
+  *    [[decodeImages]] reads them back through `javax.imageio` —
+  *    width/height/band-count come from the actual PNG headers, no
+  *    external libraries needed. The DuckDB oracle asserts the decoded
+  *    dimensions against the generator's formula, so a decode that
+  *    dropped/flipped/padded dimensions fails the gate.
+  *  - deep FEATURE extraction (embeddings) remains an honestly-labeled
+  *    deterministic stub ([[decodeStub]]) — no ML runtime in this
+  *    environment. The stub boundary is the function: swap in a real
+  *    extractor (JNI/ONNX binding) without touching the plumbing.
   *
   * Scale notes: payload bytes ride in the row (Parquet binary), feature
   * extraction is a narrow `mapPartitions` batch — no shuffle; downstream
@@ -83,6 +90,82 @@ object MultimodalOps {
         MediaFeatures(m.mediaId, m.kind, m.payload.length.toLong, decodeStub(m.payload))
       }
     }
+  }
+
+  // ------------------------------------------------- real image decode
+
+  final case class ImageRow(mediaId: Long, payload: Array[Byte])
+  final case class DecodedImage(mediaId: Long, width: Int, height: Int, channels: Int)
+
+  /** Image dimensions for a media id — the generator formula the oracle
+    * replays: tiny images (≤ 71×55) so a 10^12-row corpus synthesizes in
+    * scan time.
+    */
+  def imageWidth(mediaId: Long): Int = (mediaId % 64).toInt + 8
+  def imageHeight(mediaId: Long): Int = (mediaId % 48).toInt + 8
+
+  /** A REAL encoded PNG: deterministic RGB pixel ramp keyed by `seed`,
+    * encoded through `javax.imageio`. Same JDK → byte-identical output;
+    * any JDK → decodes back to exactly (w, h, 3 bands).
+    */
+  def pngBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (x * 31 + y * 17 + seed) & 0xff
+        val g = (x * 13 + y * 7 + seed * 3) & 0xff
+        val b = (x * 5 + y * 29 + seed * 7) & 0xff
+        img.setRGB(x, y, ((r << 16) | (g << 8) | b).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, "png", out))
+      throw new IllegalStateException("JDK PNG writer unavailable")
+    out.toByteArray
+  }
+
+  /** Deterministic real-PNG corpus: one image row per document with
+    * `doc_id % 3 == 0` (the `mediaTable` image stratum), payload = an
+    * actual PNG whose dimensions follow [[imageWidth]]/[[imageHeight]].
+    * Generation happens executor-side in `mapPartitions` — the driver
+    * never holds the images.
+    */
+  def imageTable(spark: SparkSession, sfDir: String): Dataset[ImageRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        ImageRow(id, pngBytes(imageWidth(id), imageHeight(id), seed = id))))
+  }
+
+  /** REAL image decode: parse the PNG with `javax.imageio` and report
+    * header truth — width, height, raster band count. Raises on an
+    * undecodable payload (a corrupt image must be a visible error, not a
+    * silent -1 row; quarantine upstream if tolerance is wanted).
+    */
+  def decodeImage(payload: Array[Byte]): (Int, Int, Int) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null)
+      throw new IllegalArgumentException(
+        s"payload is not a decodable image (${payload.length} bytes)")
+    (img.getWidth, img.getHeight, img.getRaster.getNumBands)
+  }
+
+  /** Batch image decode: narrow `mapPartitions`, no shuffle; the payload
+    * column is consumed here and pruned from everything downstream.
+    */
+  def decodeImages(images: Dataset[ImageRow]): Dataset[DecodedImage] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions(_.map { r =>
+      val (w, h, c) = decodeImage(r.payload)
+      DecodedImage(r.mediaId, w, h, c)
+    })
   }
 
   /** Queryable summary: per media kind — row count, total payload bytes,

@@ -155,6 +155,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clusters == Map(1L -> 1L, 5L -> 1L, 3L -> 1L, 7L -> 7L), clusters.toString)
   }
 
+  test("connectedComponentsStar: log-round convergence on a 1000-link chain; same labels as label propagation") {
+    val sp = spark; import sp.implicits._
+    // the adversarial case for min-label propagation: a diameter-1000
+    // chain needs ~1000 label rounds, but the alternating-star variant
+    // must close it in O(log n) — 12 rounds is the ⌈log₂ 1001⌉ = 10
+    // bound plus the fixpoint-detection round and one slack round
+    val n = 1000L
+    val chainNodes = (0L to n).toDF("id")
+    val chainEdges = (0L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val star = DedupOps.connectedComponentsStar(chainNodes, chainEdges, maxIterations = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.size == n.toInt + 1 && star.values.forall(_ == 0L),
+      "every chain node must label to the minimum id 0")
+    // agreement with the default algorithm on a multi-component graph
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("a", "b")
+    val a = DedupOps.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = DedupOps.connectedComponentsStar(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "star and label propagation must produce identical labels")
+    // empty edge set: all singletons, no iteration
+    val none = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(DedupOps.connectedComponentsStar(Seq(7L).toDF("id"), none)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((7L, 7L)))
+    // duplicateClusters routes through the flag
+    val docs = Seq((1L, "aa bb cc dd"), (5L, "aa bb cc dd"),
+      (9L, "zz yy xx ww")).toDF("doc_id", "text")
+    val viaStar = DedupOps.duplicateClusters(docs, col("text"), col("doc_id"),
+        threshold = 0.5, algorithm = "star")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar == Map(1L -> 1L, 5L -> 1L, 9L -> 9L))
+  }
+
   test("exactDuplicatePairs recovers the dup→rep mapping the LSH collapse hides") {
     val sp = spark; import sp.implicits._
     val docs = Seq((1L, "aa bb cc"), (4L, "aa bb cc"), (2L, "aa bb cc"),
@@ -250,6 +284,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sum = MultimodalOps.featureSummary(MultimodalOps.extractFeatures(media)).collect()(0)
     assert(sum.getAs[Long]("f0_micro_sum") == math.floor(expected0.toDouble * 1e6).toLong)
     assert(sum.getAs[Long]("total_bytes") == payload.length.toLong)
+  }
+
+  test("real PNG decode: generated payload is a genuine PNG; decode reports header truth") {
+    val sp = spark; import sp.implicits._
+    val png = MultimodalOps.pngBytes(23, 11, seed = 42L)
+    // PNG magic: a REAL container format, not a fake
+    assert(png.take(8).map(_ & 0xff).toSeq == Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+    assert(MultimodalOps.decodeImage(png) == ((23, 11, 3)))
+    // determinism: same (w, h, seed) → byte-identical PNG
+    assert(java.util.Arrays.equals(png, MultimodalOps.pngBytes(23, 11, seed = 42L)))
+    // garbage payload must raise, not return a silent placeholder
+    assertThrows[IllegalArgumentException](
+      MultimodalOps.decodeImage("not an image".getBytes("UTF-8")))
+    // distributed round-trip: encode in one mapPartitions, decode in
+    // another, dims must match the generator formula for every row
+    val imgs = spark.createDataset(Seq(6L, 9L, 300L))
+      .map(id => MultimodalOps.ImageRow(id,
+        MultimodalOps.pngBytes(MultimodalOps.imageWidth(id), MultimodalOps.imageHeight(id), id)))
+    val got = MultimodalOps.decodeImages(imgs).collect()
+      .map(d => d.mediaId -> ((d.width, d.height, d.channels))).toMap
+    assert(got == Map(
+      6L -> ((14, 14, 3)), 9L -> ((17, 17, 3)), 300L -> ((52, 20, 3))))
   }
 
   test("LSH candidate generation plans an equi-join, never a cartesian product") {
