@@ -204,6 +204,21 @@ object Bench {
     gbps
   }
 
+  /** Post-run probe with a short settle: the probe's purpose is to show
+    * the healthy window HELD through the timed region — but firing it in
+    * the same instant the run ends races Spark's own teardown (executor
+    * cleanup, temp-file deletion, GC) and the hypervisor's reaction to
+    * the just-finished burst, yielding false "collapsed" readings after
+    * perfectly healthy runs (observed: post probes of 0.03–0.24 GB/s
+    * following runs whose own write throughput was fine). 10 s is well
+    * inside the minutes-scale window oscillation, so the settle cannot
+    * mask a genuine collapse.
+    */
+  def postProbe(): Double = {
+    Thread.sleep(10000)
+    observeProbe(writeGbps(8, 64))
+  }
+
   /** Clean-window floor: a probe counts as healthy when it reaches BOTH
     * an absolute 1 GB/s and 50% of the session's best observed probe.
     * The absolute floor alone opened on partially-collapsed windows
@@ -312,7 +327,7 @@ object Bench {
       runIdx += 1
       val r = pipelineThroughput(spark, sfDir, replication, s"$outDir/quads$runIdx",
         preTimed = gate)
-      val post = observeProbe(writeGbps(8, 64))
+      val post = postProbe()
       timedRuns += r; postProbes += post
     }
     // clean flags are re-evaluated against the FINAL floor (the session's

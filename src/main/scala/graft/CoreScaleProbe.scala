@@ -35,7 +35,10 @@ object CoreScaleProbe {
     }
     run(4, 500) // JIT warmup
     run(32, 500)
-    Seq(1, 8, 32).foreach { t =>
+    // thread counts overridable from args, so a scaling session can probe
+    // the SAME N/4N window it measured (e.g. "2 8" alongside a 2→8 run)
+    val counts = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 8, 32)
+    counts.foreach { t =>
       val best = (1 to 3).map(_ => run(t, 2000)).max
       println(f"[core] threads=$t docs/s=$best%.0f")
     }

@@ -69,7 +69,7 @@ object Scale {
       val runs = (1 to iters).map { i =>
         val (secs, triples) =
           Bench.pipelineThroughput(spark, sfDir, replication, s"$outDir/quads$i", preTimed = gate)
-        val post = Bench.observeProbe(Bench.writeGbps(8, 64))
+        val post = Bench.postProbe()
         Run(secs, triples, lastGate, post)
       }
       spark.stop()

@@ -257,7 +257,14 @@ object GraphOps {
     */
   def bgpFiltered(quads: DataFrame, patterns: Seq[TriplePattern],
                   filters: Seq[VarFilter]): DataFrame =
-    filters.foldLeft(bgp(quads, patterns))((acc, f) => acc.filter(f.column))
+    applyFilters(bgp(quads, patterns), filters)
+
+  /** Apply FILTER constraints to ANY solution-bindings frame — composes
+    * with [[bgpQuads]]/[[bgpOptional]]/[[bgpUnion]] output just as with
+    * [[bgp]]'s.
+    */
+  def applyFilters(bindings: DataFrame, filters: Seq[VarFilter]): DataFrame =
+    filters.foldLeft(bindings)((acc, f) => acc.filter(f.column))
 
   /** Run a parsed query (patterns + filters) — the one-call form of
     * `bgpFiltered(quads, q.patterns, q.filters)`.

@@ -146,6 +146,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().length == 50, "pruned scan must still return every match")
   }
 
+  test("gated graph queries read the cached triple table, not the dimension parquet per leg") {
+    // kgTriples is memoized + cached: every BGP leg of kg_bgp_chain must
+    // scan the InMemoryRelation — zero parquet scans of nation/customer
+    // in the query's PHYSICAL TREE (the cache materialization scans each
+    // once, matching the stored-triple-table shape of a 100× deployment).
+    // Note: the plan STRING prints the cached relation's defining FileScan
+    // under each InMemoryTableScan, so this walks the executed tree —
+    // InMemoryTableScanExec is a leaf; a FileSourceScanExec reachable as a
+    // tree node means a leg bypassed the cache. AQE is disabled for the
+    // walk so query stages don't wrap the joins.
+    SparkEntry.kgBgpChain(spark, sfDir).collect() // materializes the cache
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      import org.apache.spark.sql.execution.{SparkPlan, FileSourceScanExec}
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      def count(p: SparkPlan, pred: SparkPlan => Boolean): Int =
+        (if (pred(p)) 1 else 0) + p.children.map(count(_, pred)).sum
+      val exec = SparkEntry.kgBgpChain(spark, sfDir).queryExecution.executedPlan
+      assert(count(exec, _.isInstanceOf[InMemoryTableScanExec]) >= 4,
+        s"BGP legs must read the cached triple table:\n$exec")
+      assert(count(exec, _.isInstanceOf[FileSourceScanExec]) == 0,
+        s"a BGP leg re-scanned dimension parquet instead of the cache:\n$exec")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("transitiveClosure raises instead of returning a partial closure") {
     import graft.ops.GraphOps
     val sp = spark; import sp.implicits._
