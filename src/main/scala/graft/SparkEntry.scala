@@ -234,6 +234,19 @@ object SparkEntry {
       .select(col("mediaId").as("media_id"), col("width"), col("height"), col("channels"))
       .orderBy("media_id")
 
+  /** REAL audio decode end-to-end: synthesize genuine RIFF/WAVE clips
+    * executor-side, decode the actual headers back through
+    * `javax.sound.sampled` — rate/channels/bits/frames/duration must
+    * match the generator formulas after the real encode→decode trip.
+    */
+  def multimodalAudio(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.decodeAudios(MultimodalOps.audioTable(spark, dir)).toDF()
+      .select(col("mediaId").as("media_id"),
+        col("sampleRateHz").as("sample_rate_hz"), col("channels"),
+        col("bitsPerSample").as("bits_per_sample"), col("frames"),
+        col("durationMicros").as("duration_micros"))
+      .orderBy("media_id")
+
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     // coarse quantizer: 16 deterministic centroids (vec_id 1..16 — stands
     // in for an offline-trained codebook); driver-collects 16 rows, the
@@ -496,6 +509,22 @@ object SparkEntry {
       .orderBy("nation")
   }
 
+  /** The composed text-query surface end-to-end: one `select()` string
+    * with UNION branches and a FILTER, compiled onto the cached KG —
+    * suppliers (all) ∪ customers in nations with region key ≥ 2, member
+    * counts per nation plus the count of rows that came through the
+    * filtered branch (non-null `rk`).
+    */
+  def kgSelect(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """{ ?m <urn:dm:supplier#ref-s_nationkey> ?n }
+        |UNION
+        |{ ?m <urn:dm:customer#ref-c_nationkey> ?n .
+        |  ?n <urn:dm:nation#n_regionkey> ?rk . FILTER(?rk >= 2) }""".stripMargin)
+      .groupBy(col("n").as("nation"))
+      .agg(count(lit(1)).as("n_members"), count(col("rk")).as("n_filtered"))
+      .orderBy("nation")
+
   /** Property path `p+` through the BGP bridge: the document parent tree
     * as `urn:p:parent` triples plus literal `urn:p:lang` triples;
     * `?d <urn:p:parent>+ ?a . ?a <urn:p:lang> "en"` counts each
@@ -562,6 +591,7 @@ object SparkEntry {
     "kg_bgp_union" -> (kgBgpUnion(_, _)),
     "kg_graph_patterns" -> (kgGraphPatterns(_, _)),
     "kg_path_plus" -> (kgPathPlus(_, _)),
+    "kg_select" -> (kgSelect(_, _)),
     "kg_construct" -> (kgConstruct(_, _)),
     "kg_ask" -> (kgAsk(_, _)),
     "kg_describe" -> (kgDescribe(_, _)),
@@ -573,7 +603,8 @@ object SparkEntry {
     "sample_stratified" -> (sampleStratified(_, _)),
     // multimodal plumbing + real image decode
     "multimodal_features" -> (multimodalFeatures(_, _)),
-    "multimodal_decode" -> (multimodalDecode(_, _))
+    "multimodal_decode" -> (multimodalDecode(_, _)),
+    "multimodal_audio" -> (multimodalAudio(_, _))
   )
 
   // ------------------------------------------------------------ oracles
@@ -771,6 +802,17 @@ object SparkEntry {
         |    SELECT CAST(sum(c * c) AS BIGINT) FROM (
         |      SELECT count(*) AS c FROM nation GROUP BY n_regionkey))
         |) ORDER BY part""".stripMargin,
+    // composed select(): UNION of an unfiltered supplier branch and a
+    // FILTER(rk >= 2)-gated customer branch; n_filtered counts the rows
+    // whose rk is bound (i.e. came through the customer branch)
+    "kg_select" ->
+      """SELECT nation, count(*) AS n_members,
+        |  CAST(count(rk) AS BIGINT) AS n_filtered FROM (
+        |  SELECT 'urn:dm:nation/'||s_nationkey AS nation, NULL AS rk FROM supplier
+        |  UNION ALL
+        |  SELECT 'urn:dm:nation/'||c_nationkey, n_regionkey FROM customer
+        |  JOIN nation ON n_nationkey = c_nationkey WHERE n_regionkey >= 2)
+        |GROUP BY nation ORDER BY nation""".stripMargin,
     // property path p+ through the BGP bridge: English proper ancestors
     // per document over the deterministic doc_id → doc_id div 2 tree
     "kg_path_plus" ->
@@ -1030,6 +1072,16 @@ object SparkEntry {
         |  CAST(doc_id % 48 + 8 AS INT) AS height,
         |  CAST(3 AS INT) AS channels
         |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin,
+    // real WAV decode: header truth after an actual RIFF/WAVE
+    // encode→decode round trip; duration in integer micros (bit-portable)
+    "multimodal_audio" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate_hz,
+        |  CAST(1 AS INT) AS channels,
+        |  CAST(16 AS INT) AS bits_per_sample,
+        |  CAST(doc_id % 500 + 100 AS BIGINT) AS frames,
+        |  (doc_id % 500 + 100) * 1000000 // (8000 + (doc_id % 8) * 1000) AS duration_micros
+        |FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id""".stripMargin,
     // multimodal plumbing: kind/bytes from metadata; the stub feature is
     // h60(payload || ':f0') scaled to [0,1) as FLOAT, quantized to integer
     // micro-units BEFORE summing (order-independent aggregate)

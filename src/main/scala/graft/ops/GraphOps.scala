@@ -194,16 +194,18 @@ object GraphOps {
     }.map(_.reverse).reverse.filter(_.nonEmpty)
     groups.map { p =>
       require(p.length == 3, s"pattern needs exactly 3 terms: '${p.mkString(" ")}'")
-      def term(t: String): Term =
-        if (t.startsWith("?") && t.length > 1) Var(t.drop(1))
-        else if (t.startsWith("<") && t.endsWith(">") && t.length > 2)
-          Const(t.drop(1).dropRight(1))
-        else if (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2)
-          Const(t.drop(1).dropRight(1))
-        else throw new IllegalArgumentException(s"unrecognized term '$t' in '${p.mkString(" ")}'")
-      TriplePattern(term(p(0)), term(p(1)), term(p(2)))
+      TriplePattern(parseTerm(p(0)), parseTerm(p(1)), parseTerm(p(2)))
     }
   }
+
+  /** One term: `?var`, `<iri>`, or a double-quoted literal. */
+  def parseTerm(t: String): Term =
+    if (t.startsWith("?") && t.length > 1) Var(t.drop(1))
+    else if (t.startsWith("<") && t.endsWith(">") && t.length > 2)
+      Const(t.drop(1).dropRight(1))
+    else if (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2)
+      Const(t.drop(1).dropRight(1))
+    else throw new IllegalArgumentException(s"unrecognized term '$t'")
 
   /** A parsed `FILTER(?var op operand)` constraint: `op` is one of
     * `= != < <= > >=`; the operand is numeric (`Left` — both sides
@@ -233,20 +235,28 @@ object GraphOps {
   private val FilterRe =
     """(?i)FILTER\s*\(\s*\?(\w+)\s*(=|!=|<=|>=|<|>)\s*("[^"]*"|[^\s()]+)\s*\)""".r
 
-  /** [[parsePatterns]] plus SPARQL's most common constraint form:
-    * `FILTER(?v op const)` clauses anywhere in the block (numeric or
-    * quoted-string operand). Returns the patterns and the parsed filters;
-    * compile with [[bgpFiltered]].
+  /** Pull every `FILTER(?v op const)` clause out of `s`: (filters,
+    * remaining text with the clauses blanked).
     */
-  def parseQuery(block: String): ParsedQuery = {
-    val filters = FilterRe.findAllMatchIn(block).map { m =>
+  private def extractFilters(s: String): (Seq[VarFilter], String) = {
+    val filters = FilterRe.findAllMatchIn(s).map { m =>
       val raw = m.group(3)
       val operand =
         if (raw.startsWith("\"") && raw.endsWith("\"")) Right(raw.drop(1).dropRight(1))
         else Left(raw.toDouble) // malformed operand → NumberFormatException, loudly
       VarFilter(m.group(1), m.group(2), operand)
     }.toSeq
-    ParsedQuery(parsePatterns(FilterRe.replaceAllIn(block, " ")), filters)
+    (filters, FilterRe.replaceAllIn(s, " "))
+  }
+
+  /** [[parsePatterns]] plus SPARQL's most common constraint form:
+    * `FILTER(?v op const)` clauses anywhere in the block (numeric or
+    * quoted-string operand). Returns the patterns and the parsed filters;
+    * compile with [[bgpFiltered]].
+    */
+  def parseQuery(block: String): ParsedQuery = {
+    val (filters, rest) = extractFilters(block)
+    ParsedQuery(parsePatterns(rest), filters)
   }
 
   /** [[bgp]] with post-join FILTER constraints: each filter is one
@@ -271,6 +281,126 @@ object GraphOps {
     */
   def bgpQuery(quads: DataFrame, q: ParsedQuery): DataFrame =
     bgpFiltered(quads, q.patterns, q.filters)
+
+  /** BGP over a quad table with a MIX of graph-constrained and
+    * graph-agnostic patterns: a `Some(term)` graph constrains that
+    * pattern's quads (constant or variable, as in [[bgpQuads]]); `None`
+    * matches quads in ANY graph — SPARQL's default-scope pattern inside
+    * a query that also uses GRAPH blocks.
+    */
+  def bgpMixed(quads: DataFrame, patterns: Seq[(Option[Term], TriplePattern)]): DataFrame = {
+    require(patterns.nonEmpty, "empty pattern list")
+    compilePatterns(quads, patterns.map { case (g, p) =>
+      Seq("subj" -> p.s, "pred" -> p.p, "obj" -> p.o) ++ g.map("graph" -> _)
+    })
+  }
+
+  private val OptionalRe = """(?i)OPTIONAL\s*\{([^{}]*)\}""".r
+  private val GraphBlockRe = """(?i)GRAPH\s+(\?\w+|<[^>]+>|"[^"]*")\s*\{([^{}]*)\}""".r
+
+  /** Compile a SPARQL-SHAPED query text in one call — the composed form
+    * of the whole pattern surface:
+    *
+    * {{{
+    * select(quads, """
+    *   { ?m <urn:s#ref> ?n }
+    *   UNION
+    *   { ?m <urn:c#ref> ?n . ?n <urn:n#rk> ?rk . FILTER(?rk >= 2) .
+    *     OPTIONAL { ?m <urn:label> ?lbl } .
+    *     GRAPH ?g { ?n <urn:n#name> ?nm } }
+    * """)
+    * }}}
+    *
+    * Grammar (subset, not full SPARQL): triple patterns with ` . `
+    * separators; `FILTER(?v op const)`; `OPTIONAL { patterns [FILTERs] }`
+    * (left-joined on shared variables, FILTERs inside apply to the
+    * optional side before the join); `GRAPH ?g|<iri>|"" { patterns }`
+    * (requires a `graph` column); `UNION` between top-level groups
+    * (brace the groups) — solutions union by name, branch-unbound
+    * variables null. No nesting beyond one level of braces; no
+    * expressions; property paths are pre-bridged via
+    * [[withPathClosure]]. UNION/brace splitting is quote-aware (a
+    * literal containing `UNION` or `{` is safe).
+    */
+  def select(quads: DataFrame, text: String): DataFrame =
+    splitTopLevelUnion(text).map(compileGroup(quads, _))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Split on top-level `UNION` keywords (outside braces and quotes);
+    * strip each group's outer braces.
+    */
+  private def splitTopLevelUnion(text: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var depth = 0
+    var inQuote = false
+    var i = 0
+    while (i < text.length) {
+      val c = text(i)
+      if (!inQuote && depth == 0 && (c == 'U' || c == 'u') &&
+          text.regionMatches(true, i, "UNION", 0, 5) &&
+          (i == 0 || !text(i - 1).isLetterOrDigit) &&
+          (i + 5 >= text.length || !text(i + 5).isLetterOrDigit)) {
+        out += cur.toString; cur.clear(); i += 5
+      } else {
+        if (c == '"') inQuote = !inQuote
+        else if (!inQuote && c == '{') depth += 1
+        else if (!inQuote && c == '}') depth -= 1
+        cur += c; i += 1
+      }
+    }
+    out += cur.toString
+    out.toSeq.map(g => stripOuterBraces(g.trim))
+  }
+
+  /** Strip `{ … }` when the opening brace closes at the final char. */
+  private def stripOuterBraces(s: String): String = {
+    if (!(s.startsWith("{") && s.endsWith("}"))) return s
+    var depth = 0
+    var inQuote = false
+    var i = 0
+    while (i < s.length - 1) {
+      val c = s(i)
+      if (c == '"') inQuote = !inQuote
+      else if (!inQuote && c == '{') depth += 1
+      else if (!inQuote && c == '}') { depth -= 1; if (depth == 0) return s }
+      i += 1
+    }
+    s.drop(1).dropRight(1)
+  }
+
+  /** One UNION branch: OPTIONAL blocks out first (so their FILTERs stay
+    * inside), then GRAPH blocks, then group-level FILTERs, then the
+    * remaining required patterns; compile base join → left-join
+    * optionals → apply filters.
+    */
+  private def compileGroup(quads: DataFrame, group: String): DataFrame = {
+    val optionals = OptionalRe.findAllMatchIn(group).map(_.group(1)).toSeq
+    val g1 = OptionalRe.replaceAllIn(group, " ")
+    val graphBlocks = GraphBlockRe.findAllMatchIn(g1)
+      .map(m => (parseTerm(m.group(1)), m.group(2))).toSeq
+    val g2 = GraphBlockRe.replaceAllIn(g1, " ")
+    val (filters, g3) = extractFilters(g2)
+    val required = g3.trim match {
+      case "" => Seq.empty[TriplePattern]
+      case rest => parsePatterns(rest)
+    }
+    val mixed = required.map(p => (Option.empty[Term], p)) ++
+      graphBlocks.flatMap { case (gt, block) =>
+        parsePatterns(block).map(p => (Some(gt): Option[Term], p))
+      }
+    require(mixed.nonEmpty, s"UNION branch has no patterns: '$group'")
+    val base = bgpMixed(quads, mixed)
+    val withOptionals = optionals.foldLeft(base) { (acc, ob) =>
+      val q = parseQuery(ob)
+      val opt = applyFilters(bgp(quads, q.patterns), q.filters)
+      val shared = acc.columns.toSet.intersect(opt.columns.toSet).toSeq.sorted
+      require(shared.nonEmpty,
+        s"OPTIONAL group '$ob' shares no variable with its branch")
+      acc.join(opt, shared, "left_outer")
+    }
+    applyFilters(withOptionals, filters)
+  }
 
   /** SPARQL UNION over pattern groups: each group compiles independently
     * via [[bgp]] and the solution sets union by variable NAME — a variable

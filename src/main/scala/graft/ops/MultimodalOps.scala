@@ -168,6 +168,78 @@ object MultimodalOps {
     })
   }
 
+  // ------------------------------------------------- real audio decode
+
+  final case class AudioRow(mediaId: Long, payload: Array[Byte])
+  final case class DecodedAudio(mediaId: Long, sampleRateHz: Int, channels: Int,
+                                bitsPerSample: Int, frames: Long, durationMicros: Long)
+
+  /** Audio generator formulas (the oracle replays these): tiny PCM clips. */
+  def audioSampleRate(mediaId: Long): Int = 8000 + (mediaId % 8).toInt * 1000
+  def audioFrames(mediaId: Long): Int = (mediaId % 500).toInt + 100
+
+  /** A REAL RIFF/WAVE file: 16-bit mono PCM, deterministic sample ramp
+    * keyed by `seed`, encoded through `javax.sound.sampled`. Decodes back
+    * in any WAV reader to exactly (sampleRate, 1 channel, 16 bits,
+    * frames).
+    */
+  def wavBytes(sampleRate: Int, frames: Int, seed: Long): Array[Byte] = {
+    val pcm = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val s = ((i * 131 + seed * 31) % 65536 - 32768).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Deterministic real-WAV corpus: one audio row per document with
+    * `doc_id % 3 == 1` (the `mediaTable` audio stratum).
+    */
+  def audioTable(spark: SparkSession, sfDir: String): Dataset[AudioRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        AudioRow(id, wavBytes(audioSampleRate(id), audioFrames(id), seed = id))))
+  }
+
+  /** REAL audio header decode via `javax.sound.sampled`: sample rate,
+    * channel count, bit depth, frame count from the actual RIFF headers;
+    * duration derived in integer micros (`frames * 10^6 / rate`) so the
+    * value is bit-reproducible in any engine. Raises on undecodable
+    * payloads (same contract as [[decodeImage]]).
+    */
+  def decodeAudio(payload: Array[Byte]): DecodedAudio = {
+    val aff = try javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(payload))
+    catch {
+      case e: javax.sound.sampled.UnsupportedAudioFileException =>
+        throw new IllegalArgumentException(
+          s"payload is not a decodable audio file (${payload.length} bytes)", e)
+    }
+    val fmt = aff.getFormat
+    val frames = aff.getFrameLength.toLong
+    DecodedAudio(-1L, fmt.getSampleRate.toInt, fmt.getChannels,
+      fmt.getSampleSizeInBits, frames,
+      frames * 1000000L / fmt.getSampleRate.toLong)
+  }
+
+  /** Batch audio decode: narrow `mapPartitions`, payload consumed here. */
+  def decodeAudios(audio: Dataset[AudioRow]): Dataset[DecodedAudio] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions(_.map(r => decodeAudio(r.payload).copy(mediaId = r.mediaId)))
+  }
+
   /** Queryable summary: per media kind — row count, total payload bytes,
     * and the quantized sum of the first stub feature. The feature is
     * quantized to an integer (floor of f0·10^6) BEFORE summing so the

@@ -324,6 +324,56 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(("b", "c", "mid")))
   }
 
+  test("select: composed text query — UNION branches with FILTER and OPTIONAL") {
+    val kg = quads(
+      ("s1", "p:supp", "n1", ""), ("c1", "p:cust", "n1", ""), ("c2", "p:cust", "n2", ""),
+      ("n1", "p:rk", "1", XsdInteger), ("n2", "p:rk", "3", XsdInteger),
+      ("c2", "p:label", "big", XsdString))
+    val got = select(kg,
+      """{ ?m <p:supp> ?n }
+        |UNION
+        |{ ?m <p:cust> ?n . ?n <p:rk> ?rk . FILTER(?rk >= 2) .
+        |  OPTIONAL { ?m <p:label> ?lbl } }""".stripMargin)
+      .select("m", "n", "lbl").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)))).toSet
+    // supp branch: s1 (no lbl column → null); cust branch: only c2 (n2 rk=3), lbl bound
+    assert(got == Set(("s1", "n1", None), ("c2", "n2", Some("big"))))
+  }
+
+  test("select: GRAPH blocks mix with graph-agnostic patterns; quoted UNION/braces are safe") {
+    val sp = spark; import sp.implicits._
+    val quadTable = Seq(
+      ("n1", "p:name", "N ONE", "", "g1"),
+      ("n2", "p:name", "UNION { }", "", "g2"), // literal traps for the splitter
+      ("c1", "p:in", "n1", "", ""),
+      ("c2", "p:in", "n2", "", ""))
+      .toDF("subj", "pred", "obj", "dt", "graph")
+    val got = select(quadTable,
+      """?c <p:in> ?n . GRAPH ?g { ?n <p:name> ?nm }""")
+      .select("c", "g", "nm").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("c1", "g1", "N ONE"), ("c2", "g2", "UNION { }")))
+    // constant graph narrows; the graph-agnostic pattern still matches any graph
+    val onlyG1 = select(quadTable,
+      """?c <p:in> ?n . GRAPH <g1> { ?n <p:name> ?nm }""")
+      .select("c").collect().map(_.getString(0)).toSeq
+    assert(onlyG1 == Seq("c1"))
+    // a literal containing UNION must not split the query
+    val litSafe = select(quadTable, """?n <p:name> "UNION { }" """)
+      .select("n").collect().map(_.getString(0)).toSeq
+    assert(litSafe == Seq("n2"))
+  }
+
+  test("select: plain pattern block equals bgp; empty branch rejected") {
+    val kg = quads(("a", "p:x", "b", ""), ("b", "p:x", "c", ""))
+    val viaSelect = select(kg, "?s <p:x> ?o").select("s", "o").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val viaBgp = bgp(kg, Seq(TriplePattern(Var("s"), Const("p:x"), Var("o"))))
+      .select("s", "o").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viaSelect == viaBgp)
+    assertThrows[IllegalArgumentException](select(kg, "{ } UNION { ?a <p:x> ?b }"))
+  }
+
   test("stratifiedSample: deterministic across runs, honors 0/1 rates, subset semantics") {
     val sp = spark; import sp.implicits._
     val docs = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")

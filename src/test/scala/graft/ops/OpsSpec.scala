@@ -308,6 +308,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       6L -> ((14, 14, 3)), 9L -> ((17, 17, 3)), 300L -> ((52, 20, 3))))
   }
 
+  test("real WAV decode: generated payload is genuine RIFF/WAVE; header truth round-trips") {
+    val sp = spark; import sp.implicits._
+    val wav = MultimodalOps.wavBytes(sampleRate = 11000, frames = 250, seed = 9L)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
+      new String(wav.slice(8, 12), "US-ASCII") == "WAVE",
+      "payload must be a real RIFF/WAVE container")
+    val d = MultimodalOps.decodeAudio(wav)
+    assert(d.sampleRateHz == 11000 && d.channels == 1 &&
+      d.bitsPerSample == 16 && d.frames == 250L)
+    assert(d.durationMicros == 250L * 1000000L / 11000L)
+    assertThrows[IllegalArgumentException](
+      MultimodalOps.decodeAudio("not audio".getBytes("UTF-8")))
+    // distributed: encode in one mapPartitions, decode in another
+    val rows = spark.createDataset(Seq(7L, 13L))
+      .map(id => MultimodalOps.AudioRow(id, MultimodalOps.wavBytes(
+        MultimodalOps.audioSampleRate(id), MultimodalOps.audioFrames(id), id)))
+    val got = MultimodalOps.decodeAudios(rows).collect()
+      .map(a => a.mediaId -> ((a.sampleRateHz, a.frames))).toMap
+    assert(got == Map(7L -> ((15000, 107L)), 13L -> ((13000, 113L))))
+  }
+
   test("LSH candidate generation plans an equi-join, never a cartesian product") {
     val sp = spark; import sp.implicits._
     val docs = (1 to 40).map(i => (i.toLong, s"doc number $i " + (1 to 10).map(j => s"w${i % 7}$j").mkString(" ")))
