@@ -73,6 +73,12 @@ object Scale {
         Run(secs, triples, lastGate, post)
       }
       spark.stop()
+      // local-cluster teardown leaves the stopped session registered as
+      // default; the NEXT getOrCreate would hand back the corpse
+      // ("Cannot call methods on a stopped SparkContext") — clear both
+      // registries so each parallelism level builds a fresh context
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
       try {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(java.nio.file.Paths.get(outDir)).iterator().asScala.toSeq

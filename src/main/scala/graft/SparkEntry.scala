@@ -525,6 +525,19 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_members"), count(col("rk")).as("n_filtered"))
       .orderBy("nation")
 
+  /** SPARQL MINUS through the composed grammar: customers whose nation
+    * is NOT in ASIA (left-anti on the shared nation variable), counted
+    * per nation.
+    */
+  def kgMinus(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """?c <urn:dm:customer#ref-c_nationkey> ?n .
+        |MINUS { ?n <urn:dm:nation#ref-n_regionkey> ?r .
+        |        ?r <urn:dm:region#r_name> "ASIA" }""".stripMargin)
+      .groupBy(col("n").as("nation"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("nation")
+
   /** Property path `p+` through the BGP bridge: the document parent tree
     * as `urn:p:parent` triples plus literal `urn:p:lang` triples;
     * `?d <urn:p:parent>+ ?a . ?a <urn:p:lang> "en"` counts each
@@ -592,6 +605,7 @@ object SparkEntry {
     "kg_graph_patterns" -> (kgGraphPatterns(_, _)),
     "kg_path_plus" -> (kgPathPlus(_, _)),
     "kg_select" -> (kgSelect(_, _)),
+    "kg_minus" -> (kgMinus(_, _)),
     "kg_construct" -> (kgConstruct(_, _)),
     "kg_ask" -> (kgAsk(_, _)),
     "kg_describe" -> (kgDescribe(_, _)),
@@ -813,6 +827,15 @@ object SparkEntry {
         |  SELECT 'urn:dm:nation/'||c_nationkey, n_regionkey FROM customer
         |  JOIN nation ON n_nationkey = c_nationkey WHERE n_regionkey >= 2)
         |GROUP BY nation ORDER BY nation""".stripMargin,
+    // MINUS (NOT EXISTS): customers outside ASIA, anti-joined on the
+    // nation variable
+    "kg_minus" ->
+      """SELECT 'urn:dm:nation/'||c_nationkey AS nation, count(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON n_nationkey = c_nationkey
+        |JOIN region ON r_regionkey = n_regionkey
+        |WHERE r_name <> 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // property path p+ through the BGP bridge: English proper ancestors
     // per document over the deterministic doc_id → doc_id div 2 tree
     "kg_path_plus" ->

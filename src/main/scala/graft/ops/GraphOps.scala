@@ -296,6 +296,7 @@ object GraphOps {
   }
 
   private val OptionalRe = """(?i)OPTIONAL\s*\{([^{}]*)\}""".r
+  private val MinusRe = """(?i)MINUS\s*\{([^{}]*)\}""".r
   private val GraphBlockRe = """(?i)GRAPH\s+(\?\w+|<[^>]+>|"[^"]*")\s*\{([^{}]*)\}""".r
 
   /** Compile a SPARQL-SHAPED query text in one call — the composed form
@@ -314,7 +315,9 @@ object GraphOps {
     * Grammar (subset, not full SPARQL): triple patterns with ` . `
     * separators; `FILTER(?v op const)`; `OPTIONAL { patterns [FILTERs] }`
     * (left-joined on shared variables, FILTERs inside apply to the
-    * optional side before the join); `GRAPH ?g|<iri>|"" { patterns }`
+    * optional side before the join); `MINUS { patterns [FILTERs] }`
+    * (left-anti on shared variables — NOT EXISTS);
+    * `GRAPH ?g|<iri>|"" { patterns }`
     * (requires a `graph` column); `UNION` between top-level groups
     * (brace the groups) — solutions union by name, branch-unbound
     * variables null. No nesting beyond one level of braces; no
@@ -369,14 +372,16 @@ object GraphOps {
     s.drop(1).dropRight(1)
   }
 
-  /** One UNION branch: OPTIONAL blocks out first (so their FILTERs stay
-    * inside), then GRAPH blocks, then group-level FILTERs, then the
-    * remaining required patterns; compile base join → left-join
-    * optionals → apply filters.
+  /** One UNION branch: OPTIONAL and MINUS blocks out first (so their
+    * FILTERs stay inside), then GRAPH blocks, then group-level FILTERs,
+    * then the remaining required patterns; compile base join → left-join
+    * optionals → anti-join minus groups → apply filters.
     */
   private def compileGroup(quads: DataFrame, group: String): DataFrame = {
     val optionals = OptionalRe.findAllMatchIn(group).map(_.group(1)).toSeq
-    val g1 = OptionalRe.replaceAllIn(group, " ")
+    val g0 = OptionalRe.replaceAllIn(group, " ")
+    val minusGroups = MinusRe.findAllMatchIn(g0).map(_.group(1)).toSeq
+    val g1 = MinusRe.replaceAllIn(g0, " ")
     val graphBlocks = GraphBlockRe.findAllMatchIn(g1)
       .map(m => (parseTerm(m.group(1)), m.group(2))).toSeq
     val g2 = GraphBlockRe.replaceAllIn(g1, " ")
@@ -399,7 +404,15 @@ object GraphOps {
         s"OPTIONAL group '$ob' shares no variable with its branch")
       acc.join(opt, shared, "left_outer")
     }
-    applyFilters(withOptionals, filters)
+    val withMinus = minusGroups.foldLeft(withOptionals) { (acc, mb) =>
+      val q = parseQuery(mb)
+      val m = applyFilters(bgp(quads, q.patterns), q.filters)
+      val shared = acc.columns.toSet.intersect(m.columns.toSet).toSeq.sorted
+      require(shared.nonEmpty,
+        s"MINUS group '$mb' shares no variable with its branch")
+      acc.join(m, shared, "left_anti")
+    }
+    applyFilters(withMinus, filters)
   }
 
   /** SPARQL UNION over pattern groups: each group compiles independently
@@ -484,6 +497,25 @@ object GraphOps {
       require(shared.nonEmpty,
         s"OPTIONAL group ${group.mkString(", ")} shares no variable with the required pattern")
       acc.join(opt, shared, "left_outer")
+    }
+
+  /** SPARQL MINUS / FILTER NOT EXISTS: remove solutions that have a
+    * compatible solution in a minus group — compiled as a LEFT ANTI join
+    * on the shared variables (hash anti-join: no row explosion, map-side
+    * broadcastable when the minus side is small). The two SPARQL
+    * constructs differ only on empty-shared-domain corner cases; this
+    * implementation requires ≥ 1 shared variable per group (an
+    * unanchored MINUS removes nothing in SPARQL — rejected here as
+    * almost certainly a bug, same policy as [[bgpOptional]]).
+    */
+  def bgpMinus(quads: DataFrame, required: Seq[TriplePattern],
+               minus: Seq[Seq[TriplePattern]]): DataFrame =
+    minus.foldLeft(bgp(quads, required)) { (acc, group) =>
+      val m = bgp(quads, group)
+      val shared = acc.columns.toSet.intersect(m.columns.toSet).toSeq.sorted
+      require(shared.nonEmpty,
+        s"MINUS group ${group.mkString(", ")} shares no variable with the required pattern")
+      acc.join(m, shared, "left_anti")
     }
 
   /** Transitive closure of a directed edge list (`src`, `dst`) by

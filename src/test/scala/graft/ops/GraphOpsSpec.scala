@@ -364,6 +364,25 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(litSafe == Seq("n2"))
   }
 
+  test("bgpMinus / select MINUS: anti-join removes compatible solutions; unanchored rejected") {
+    val kg = quads(
+      ("c1", "p:in", "n1", ""), ("c2", "p:in", "n2", ""), ("c3", "p:in", "n2", ""),
+      ("n1", "p:of", "rA", ""))
+    val direct = bgpMinus(kg,
+      required = Seq(TriplePattern(Var("c"), Const("p:in"), Var("n"))),
+      minus = Seq(Seq(TriplePattern(Var("n"), Const("p:of"), Const("rA")))))
+      .select("c").collect().map(_.getString(0)).toSet
+    assert(direct == Set("c2", "c3"), "n1's customers must be anti-joined away")
+    val viaText = select(kg,
+      """?c <p:in> ?n . MINUS { ?n <p:of> <rA> }""")
+      .select("c").collect().map(_.getString(0)).toSet
+    assert(viaText == direct)
+    assertThrows[IllegalArgumentException] {
+      bgpMinus(kg, Seq(TriplePattern(Var("c"), Const("p:in"), Var("n"))),
+        Seq(Seq(TriplePattern(Var("x"), Const("p:of"), Var("y")))))
+    }
+  }
+
   test("select: plain pattern block equals bgp; empty branch rejected") {
     val kg = quads(("a", "p:x", "b", ""), ("b", "p:x", "c", ""))
     val viaSelect = select(kg, "?s <p:x> ?o").select("s", "o").collect()
