@@ -525,6 +525,17 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_members"), count(col("rk")).as("n_filtered"))
       .orderBy("nation")
 
+  /** SPARQL VALUES through the composed grammar: customers restricted to
+    * an inline nation list (broadcast inner join), counted per nation.
+    */
+  def kgValues(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """?c <urn:dm:customer#ref-c_nationkey> ?n .
+        |VALUES ?n { <urn:dm:nation/1> <urn:dm:nation/3> <urn:dm:nation/7> }""".stripMargin)
+      .groupBy(col("n").as("nation"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("nation")
+
   /** SPARQL MINUS through the composed grammar: customers whose nation
     * is NOT in ASIA (left-anti on the shared nation variable), counted
     * per nation.
@@ -606,6 +617,7 @@ object SparkEntry {
     "kg_path_plus" -> (kgPathPlus(_, _)),
     "kg_select" -> (kgSelect(_, _)),
     "kg_minus" -> (kgMinus(_, _)),
+    "kg_values" -> (kgValues(_, _)),
     "kg_construct" -> (kgConstruct(_, _)),
     "kg_ask" -> (kgAsk(_, _)),
     "kg_describe" -> (kgDescribe(_, _)),
@@ -827,6 +839,11 @@ object SparkEntry {
         |  SELECT 'urn:dm:nation/'||c_nationkey, n_regionkey FROM customer
         |  JOIN nation ON n_nationkey = c_nationkey WHERE n_regionkey >= 2)
         |GROUP BY nation ORDER BY nation""".stripMargin,
+    // VALUES: inline nation list, broadcast-joined
+    "kg_values" ->
+      """SELECT 'urn:dm:nation/'||c_nationkey AS nation, count(*) AS n_customers
+        |FROM customer WHERE c_nationkey IN (1, 3, 7)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // MINUS (NOT EXISTS): customers outside ASIA, anti-joined on the
     // nation variable
     "kg_minus" ->

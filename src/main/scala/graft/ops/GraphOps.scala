@@ -298,6 +298,23 @@ object GraphOps {
   private val OptionalRe = """(?i)OPTIONAL\s*\{([^{}]*)\}""".r
   private val MinusRe = """(?i)MINUS\s*\{([^{}]*)\}""".r
   private val GraphBlockRe = """(?i)GRAPH\s+(\?\w+|<[^>]+>|"[^"]*")\s*\{([^{}]*)\}""".r
+  private val ValuesRe = """(?i)VALUES\s+\?(\w+)\s*\{([^{}]*)\}""".r
+
+  /** SPARQL VALUES (single-variable form): restrict a variable to an
+    * inline constant list — compiled as an inner join against a local
+    * relation (Catalyst broadcasts it; for a handful of values the
+    * optimizer folds it to an IN-filter-shaped plan). The variable must
+    * be bound by the pattern block (a free VALUES var would be a
+    * cartesian — rejected).
+    */
+  def bgpValues(bindings: DataFrame, variable: String, values: Seq[String]): DataFrame = {
+    require(bindings.columns.contains(variable),
+      s"VALUES variable ?$variable is not bound by the pattern block")
+    require(values.nonEmpty, s"empty VALUES list for ?$variable")
+    val spark = bindings.sparkSession
+    import spark.implicits._
+    bindings.join(broadcast(values.toDF(variable).distinct()), Seq(variable))
+  }
 
   /** Compile a SPARQL-SHAPED query text in one call — the composed form
     * of the whole pattern surface:
@@ -317,7 +334,8 @@ object GraphOps {
     * (left-joined on shared variables, FILTERs inside apply to the
     * optional side before the join); `MINUS { patterns [FILTERs] }`
     * (left-anti on shared variables — NOT EXISTS);
-    * `GRAPH ?g|<iri>|"" { patterns }`
+    * `VALUES ?v { <iri> "lit" … }` (inline constants, broadcast
+    * inner join); `GRAPH ?g|<iri>|"" { patterns }`
     * (requires a `graph` column); `UNION` between top-level groups
     * (brace the groups) — solutions union by name, branch-unbound
     * variables null. No nesting beyond one level of braces; no
@@ -379,7 +397,17 @@ object GraphOps {
     */
   private def compileGroup(quads: DataFrame, group: String): DataFrame = {
     val optionals = OptionalRe.findAllMatchIn(group).map(_.group(1)).toSeq
-    val g0 = OptionalRe.replaceAllIn(group, " ")
+    val gv = OptionalRe.replaceAllIn(group, " ")
+    val valuesBlocks = ValuesRe.findAllMatchIn(gv).map { m =>
+      val vals = """"[^"]*"|\S+""".r.findAllIn(m.group(2)).toSeq.map {
+        case t if t.startsWith("<") || t.startsWith("\"") =>
+          parseTerm(t) match { case Const(v) => v; case other =>
+            throw new IllegalArgumentException(s"VALUES entries must be constants, got $other") }
+        case t => throw new IllegalArgumentException(s"unrecognized VALUES entry '$t'")
+      }
+      (m.group(1), vals)
+    }.toSeq
+    val g0 = ValuesRe.replaceAllIn(gv, " ")
     val minusGroups = MinusRe.findAllMatchIn(g0).map(_.group(1)).toSeq
     val g1 = MinusRe.replaceAllIn(g0, " ")
     val graphBlocks = GraphBlockRe.findAllMatchIn(g1)
@@ -412,7 +440,10 @@ object GraphOps {
         s"MINUS group '$mb' shares no variable with its branch")
       acc.join(m, shared, "left_anti")
     }
-    applyFilters(withMinus, filters)
+    val withValues = valuesBlocks.foldLeft(withMinus) { case (acc, (v, vals)) =>
+      bgpValues(acc, v, vals)
+    }
+    applyFilters(withValues, filters)
   }
 
   /** SPARQL UNION over pattern groups: each group compiles independently

@@ -383,6 +383,23 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("select VALUES: inline constants restrict a bound variable; free var rejected") {
+    val kg = quads(
+      ("c1", "p:in", "n1", ""), ("c2", "p:in", "n2", ""), ("c3", "p:in", "n3", ""),
+      ("n1", "p:name", "A B", XsdString))
+    val got = select(kg,
+      """?c <p:in> ?n . VALUES ?n { <n1> <n3> }""")
+      .select("c").collect().map(_.getString(0)).toSet
+    assert(got == Set("c1", "c3"))
+    // quoted literal values work too (spaces preserved)
+    val lit = select(kg, """?n <p:name> ?nm . VALUES ?nm { "A B" }""")
+      .select("n").collect().map(_.getString(0)).toSeq
+    assert(lit == Seq("n1"))
+    assertThrows[IllegalArgumentException] {
+      select(kg, """?c <p:in> ?n . VALUES ?free { <x> }""")
+    }
+  }
+
   test("select: plain pattern block equals bgp; empty branch rejected") {
     val kg = quads(("a", "p:x", "b", ""), ("b", "p:x", "c", ""))
     val viaSelect = select(kg, "?s <p:x> ?o").select("s", "o").collect()
