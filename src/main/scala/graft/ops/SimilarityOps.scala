@@ -276,6 +276,64 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Deterministic distributed k-means (Lloyd) for the IVF coarse
+    * quantizer — upgrades [[ivfTopK]]'s codebook from "k designated rows
+    * stand in for an offline-trained codebook" to an actually trained
+    * one, without giving up reproducibility:
+    *
+    *  - '''init''': the k vectors with the smallest ids (stable across
+    *    engines, partitionings, retries — no RNG);
+    *  - '''assignment''': [[ivfAssign]], the same codegen'd argmax-cosine
+    *    projection the query path uses;
+    *  - '''update''': per-cell means computed from per-element QUANTIZED
+    *    integer micro-units — `sum(long)` is order-independent, so the
+    *    result is bit-identical no matter how the data is partitioned
+    *    (a plain float mean is partition-order dependent and breaks
+    *    retry/engine reproducibility);
+    *  - empty cells keep their previous centroid.
+    *
+    * Plan per iteration: one narrow assignment projection + posexplode +
+    * one hash aggregate on (cell, dim) — uniform keys, k·dims rows to the
+    * driver (the codebook, tiny by construction). At 100 TB this is the
+    * standard "train on a sample, assign at ingest" shape; pass a
+    * sampled DataFrame for the training set.
+    */
+  def trainIvfCentroids(vectors: DataFrame, emb: Column, id: Column,
+                        k: Int, iterations: Int = 5): Seq[(Int, Seq[Double])] = {
+    require(k >= 1 && iterations >= 0, "k and iterations must be positive")
+    val init = vectors.select(id.as("vid"), emb.as("v"))
+      .orderBy(col("vid")).limit(k)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i + 1, r.getSeq[Float](1).map(_.toDouble).toSeq) }
+      .toSeq
+    (1 to iterations).foldLeft(init) { (cents, _) =>
+      // assignment in its own projection stage: combining the argmax
+      // struct with a generator alias in ONE select strips the struct's
+      // field names during resolution (Spark re-resolves the projection
+      // around the generator)
+      val sums = vectors
+        .select(emb.as("v"))
+        .select(ivfAssign(col("v"), cents).as("cell"), col("v"))
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum((col("x").cast("double") * 1000000.0).cast("long")).as("qsum"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      cents.map { case (cid, c) =>
+        val updated = c.indices.map { d =>
+          sums.get((cid, d)) match {
+            case Some((qsum, n)) => qsum.toDouble / n / 1000000.0
+            case None => c(d) // empty cell: keep previous centroid
+          }
+        }
+        (cid, updated)
+      }
+    }
+  }
+
   /** DuckDB SQL fragment computing cosine(`aExpr`, `bExpr`) over FLOAT[]
     * columns with the exact arithmetic of [[cosineToQuery]] /
     * [[cosineScalar]]: cast-to-double, left-to-right folds (0.0-seeded

@@ -461,6 +461,30 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top3probe == Set(1L, 2L, 3L, 4L), "full probe recovers everything")
   }
 
+  test("trainIvfCentroids: recovers cluster structure; bit-identical across partitionings") {
+    val sp = spark; import sp.implicits._
+    // three tight clusters on the axes, interleaved by id so the
+    // deterministic smallest-id seeding starts with one seed per cluster
+    def axis(c: Int): Seq[Double] = Seq.tabulate(3)(d => if (d == c) 10.0 else 0.0)
+    def jitter(base: Seq[Double], i: Int): Seq[Float] =
+      base.zipWithIndex.map { case (b, d) => (b + 0.01 * ((i * 7 + d) % 5)).toFloat }
+    val rows = (1L to 60L).map(i => (i, jitter(axis((i % 3).toInt), i.toInt)))
+      .toDF("vec_id", "embedding")
+    val c1 = SimilarityOps.trainIvfCentroids(rows.repartition(1),
+      col("embedding"), col("vec_id"), k = 3, iterations = 4)
+    val c7 = SimilarityOps.trainIvfCentroids(rows.repartition(7),
+      col("embedding"), col("vec_id"), k = 3, iterations = 4)
+    assert(c1 == c7, "quantized-sum update must be bit-identical across partitionings")
+    // each trained centroid points at a distinct cluster axis
+    assert(c1.map(_._2.zipWithIndex.maxBy(_._1)._2).toSet == Set(0, 1, 2))
+    // and the trained codebook assigns each cluster to one coherent cell
+    val assigned = rows.select(col("vec_id"),
+        SimilarityOps.ivfAssign(col("embedding"), c1).as("cell"))
+      .collect().map(r => (r.getLong(0) % 3, r.getInt(1)))
+    assert(assigned.groupBy(_._1).values.forall(_.map(_._2).toSet.size == 1),
+      "every member of a cluster must land in the same trained cell")
+  }
+
   test("ivfTopK agrees with brute force when probing all cells") {
     val sp = spark; import sp.implicits._
     val rng = new scala.util.Random(42)
