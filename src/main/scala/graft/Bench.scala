@@ -387,7 +387,17 @@ object Bench {
     //    full record outgrew it and the round's headline went invisible);
     //  - bench_out.json gets the FULL record (all runs, all probes) for
     //    human/judge audit.
-    val compact = s"""{"metric":"pipeline_triples_per_sec","value":${f"$throughput%.1f"},"unit":"triples/sec","total_sec":${f"$total%.2f"},"pipeline_triples":$triples,"pipeline_sec":${f"$pipeSecs%.2f"},"clean_run":$cleanRun,"failed":$failed,"queries":$qs,"sf":"$sfDir","cpus":"$cpus","replication":$replication}"""
+    def compactWith(queriesJson: String) =
+      s"""{"metric":"pipeline_triples_per_sec","value":${f"$throughput%.1f"},"unit":"triples/sec","total_sec":${f"$total%.2f"},"pipeline_triples":$triples,"pipeline_sec":${f"$pipeSecs%.2f"},"clean_run":$cleanRun,"failed":$failed,"queries":$queriesJson,"sf":"$sfDir","cpus":"$cpus","replication":$replication}"""
+    // the driver's tail capture is 2000 chars: if the per-query map ever
+    // outgrows the budget (more gated queries in later rounds), drop it
+    // from the STDOUT line rather than losing the headline — the full map
+    // is always in bench_out.json
+    val compact = {
+      val full = compactWith(qs)
+      if (full.length <= 1900) full
+      else compactWith(s"""{"omitted_count":${names.size}}""")
+    }
     val full = s"""{"metric":"pipeline_triples_per_sec","value":${f"$throughput%.1f"},"unit":"triples/sec","total_sec":${f"$total%.2f"},"pipeline_triples":$triples,"pipeline_sec":${f"$pipeSecs%.2f"},"failed":$failed,"queries":$qs,"query_runs":$qsAll,"query_reps":$queryReps,"host":$host,"health_gate":$gateJson,"sf":"$sfDir","cpus":"$cpus","replication":$replication,"workdir":"${Bench.workRoot}"}"""
     // memory-backed work dirs are not free: clean up so repeated runs
     // don't exhaust /dev/shm

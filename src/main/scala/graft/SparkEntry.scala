@@ -163,6 +163,16 @@ object SparkEntry {
         n = 3, k = 32, bands = 8, threshold = 0.2)
       .orderBy("doc_id")
 
+  /** The SAME clustering contract as [[dedupClusters]] computed by the
+    * alternating large-star/small-star algorithm — gated against the
+    * identical recursive-CTE oracle, so both CC algorithms are
+    * value-verified to agree with the declarative fixpoint.
+    */
+  def dedupClustersStar(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.duplicateClusters(t(spark, dir, "documents"), col("text"), col("doc_id"),
+        n = 3, k = 32, bands = 8, threshold = 0.2, algorithm = "star")
+      .orderBy("doc_id")
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     DedupOps.simhashBuckets(t(spark, dir, "documents"), col("text"), col("doc_id"))
       .orderBy("doc_id")
@@ -572,6 +582,22 @@ object SparkEntry {
       .orderBy("doc")
   }
 
+  /** Property path `p*` (zero-or-more): reachable-in-≥0-steps counts per
+    * document over the parent tree — [[GraphOps.pathStar]]'s identity
+    * pairs make every node reach itself.
+    */
+  def kgPathStar(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val docIri = (c: org.apache.spark.sql.Column) => concat(lit("urn:doc:"), c)
+    val parentEdges = docs.filter(col("doc_id") > 0)
+      .select(docIri(col("doc_id")).as("subj"), lit("urn:p:parent").as("pred"),
+        docIri(expr("doc_id div 2")).as("obj"), lit("").as("dt"))
+    GraphOps.pathStar(parentEdges, "urn:p:parent")
+      .groupBy(col("src").as("doc"))
+      .agg(count(lit(1)).as("n_reachable"))
+      .orderBy("doc")
+  }
+
   // --------------------------------------------------------------- map
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -592,6 +618,7 @@ object SparkEntry {
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_minhash_lsh" -> (dedupMinhash(_, _)),
     "dedup_clusters" -> (dedupClusters(_, _)),
+    "dedup_clusters_star" -> (dedupClustersStar(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_embed_cosine" -> (dedupEmbedCosine(_, _)),
     "neighbor_jaccard" -> (neighborJaccard(_, _)),
@@ -615,6 +642,7 @@ object SparkEntry {
     "kg_bgp_union" -> (kgBgpUnion(_, _)),
     "kg_graph_patterns" -> (kgGraphPatterns(_, _)),
     "kg_path_plus" -> (kgPathPlus(_, _)),
+    "kg_path_star" -> (kgPathStar(_, _)),
     "kg_select" -> (kgSelect(_, _)),
     "kg_minus" -> (kgMinus(_, _)),
     "kg_values" -> (kgValues(_, _)),
@@ -828,6 +856,24 @@ object SparkEntry {
         |    SELECT CAST(sum(c * c) AS BIGINT) FROM (
         |      SELECT count(*) AS c FROM nation GROUP BY n_regionkey))
         |) ORDER BY part""".stripMargin,
+    // property path p*: ancestors-or-self counts (identity pairs over
+    // every node incident to a parent edge)
+    // NOTE: UNION-as-set-op inside this WITH RECURSIVE chain did NOT
+    // dedup in DuckDB (identity pairs came out triplicated) — dedup is
+    // explicit via DISTINCT-over-UNION-ALL
+    "kg_path_star" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id AS src, doc_id // 2 AS dst FROM documents WHERE doc_id > 0),
+        |tc(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT tc.src, e.dst FROM tc JOIN e ON e.src = tc.dst),
+        |nodes AS (SELECT DISTINCT n FROM (
+        |  SELECT src AS n FROM e UNION ALL SELECT dst FROM e)),
+        |star AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT src, dst FROM tc UNION ALL SELECT n, n FROM nodes))
+        |SELECT 'urn:doc:'||src AS doc, count(*) AS n_reachable
+        |FROM star GROUP BY src ORDER BY doc""".stripMargin,
     // composed select(): UNION of an unfiltered supplier branch and a
     // FILTER(rk >= 2)-gated customer branch; n_filtered counts the rows
     // whose rk is bound (i.e. came through the customer branch)
@@ -1083,6 +1129,23 @@ object SparkEntry {
     // (verified minhash pairs ∪ exact-dup pairs) — the recursive CTE is the
     // declarative fixpoint the Spark side reaches by min-label propagation
     "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |mhp AS (SELECT doc_a, doc_b FROM v WHERE j >= 0.2),
+         |exd AS (SELECT min(doc_id) OVER (PARTITION BY text) AS doc_a, doc_id AS doc_b
+         |  FROM documents),
+         |exp AS (SELECT doc_a, doc_b FROM exd WHERE doc_a <> doc_b),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM mhp UNION SELECT doc_b, doc_a FROM mhp
+         |  UNION SELECT doc_a, doc_b FROM exp UNION SELECT doc_b, doc_a FROM exp),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_rep
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // star-CC variant: identical contract, identical oracle — both CC
+    // algorithms must reach the same declarative fixpoint
+    "dedup_clusters_star" ->
       s"""WITH RECURSIVE $minhashPairCtes,
          |mhp AS (SELECT doc_a, doc_b FROM v WHERE j >= 0.2),
          |exd AS (SELECT min(doc_id) OVER (PARTITION BY text) AS doc_a, doc_id AS doc_b
