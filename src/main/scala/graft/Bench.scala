@@ -336,6 +336,11 @@ object Bench {
     // not headline over a slower clean one. No clean run → overall min
     // with clean_run:false, fully disclosed.
     val cleanFlags = timedRuns.indices.map(cleanAt)
+    // snapshot the floor the flags were judged against: hostCalibration
+    // below runs one more 8-writer probe which can RAISE cleanFloor after
+    // the fact — printing the re-read value next to the frozen flags
+    // would make the JSON self-inconsistent
+    val floorUsed = cleanFloor
     val cleanRun = cleanFlags.exists(identity)
     val headlineIdx =
       if (cleanRun) timedRuns.indices.filter(cleanAt).minBy(i => timedRuns(i)._1)
@@ -379,7 +384,7 @@ object Bench {
     // calibrate AFTER the timed regions (the probes themselves saturate
     // the memory path for ~3 s) — they describe the same session's host
     val host = hostCalibration()
-    val gateJson = f"""{"waited_sec":$waitedSec%.1f,"clean_floor_gbps":$cleanFloor%.2f,"gate_gbps":${gateProbes.map(g => f"$g%.2f").mkString("[", ",", "]")},"post_gbps":${postProbes.map(g => f"$g%.2f").mkString("[", ",", "]")},"clean_run":$cleanRun,"clean_runs":${cleanFlags.mkString("[", ",", "]")},"headline_run":${headlineIdx + 1},"pipeline_runs":${timedRuns.map(r => f"${r._1}%.2f").mkString("[", ",", "]")}}"""
+    val gateJson = f"""{"waited_sec":$waitedSec%.1f,"clean_floor_gbps":$floorUsed%.2f,"gate_gbps":${gateProbes.map(g => f"$g%.2f").mkString("[", ",", "]")},"post_gbps":${postProbes.map(g => f"$g%.2f").mkString("[", ",", "]")},"clean_run":$cleanRun,"clean_runs":${cleanFlags.mkString("[", ",", "]")},"headline_run":${headlineIdx + 1},"pipeline_runs":${timedRuns.map(r => f"${r._1}%.2f").mkString("[", ",", "]")}}"""
     // two artifacts, one contract each:
     //  - stdout gets ONE compact JSON line (headline + per-query best
     //    times, NO query_runs/probe arrays) — the driver's fixed-size
@@ -406,9 +411,13 @@ object Bench {
       java.nio.file.Files.walk(java.nio.file.Paths.get(outDir)).iterator().asScala.toSeq
         .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
     } catch { case _: Exception => () }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), full)
-    // the compact line LAST on stdout, after everything else
+    // stdout FIRST: even if the cwd is unwritable at the end of a long
+    // run, the driver's tail capture must still get the record (the file
+    // write emits nothing to stdout, so the compact line stays last)
     println(compact)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), full)
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}") }
     spark.stop()
   }
 }

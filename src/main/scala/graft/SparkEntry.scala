@@ -273,6 +273,21 @@ object SparkEntry {
       k = 10, nprobe = 4)
   }
 
+  /** IVF with a TRAINED codebook: deterministic distributed k-means
+    * (quantized-sum Lloyd, no RNG) over the corpus, then the standard
+    * nprobe cell search. No SQL oracle — replaying iterative k-means in
+    * DuckDB is not practical — so the driver records the weaker
+    * rows-only check; bit-reproducibility of the training itself is
+    * gated in GraphOpsSpec (repartition(1) ≡ repartition(7)).
+    */
+  def annIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = t(spark, dir, "embeddings").filter(col("vec_id") =!= 0)
+    val cents = SimilarityOps.trainIvfCentroids(vecs, col("embedding"), col("vec_id"),
+      k = 8, iterations = 2)
+    SimilarityOps.ivfTopK(vecs, col("embedding"), col("vec_id"), cents,
+      queryVector(spark, dir), k = 10, nprobe = 3)
+  }
+
   // ------------------------------------------------- KG graph queries
 
   /** Deterministic KG over the relational tables via Direct Mapping:
@@ -298,7 +313,11 @@ object SparkEntry {
   private val kgTriplesCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def kgTriples(spark: SparkSession, dir: String): DataFrame =
+  def kgTriples(spark: SparkSession, dir: String): DataFrame = {
+    // evict entries pinned to stopped sessions: a long-lived JVM that
+    // cycles sessions (test suites, Scale-style drivers) must not
+    // accumulate dead DataFrames/plan trees forever
+    kgTriplesCache.keySet.removeIf { case (s, _) => s.sparkContext.isStopped }
     kgTriplesCache.computeIfAbsent((spark, dir), { case (s, d) =>
       val df = kgDimensionTriples(s, d)
         .unionByName(GraphOps.referenceTriples(t(s, d, "customer"), "customer",
@@ -308,6 +327,7 @@ object SparkEntry {
       df.cache()
       df
     })
+  }
 
   def kgDirectMapping(spark: SparkSession, dir: String): DataFrame =
     kgDimensionTriples(spark, dir).orderBy("subj", "pred", "obj")
@@ -564,17 +584,27 @@ object SparkEntry {
     * `?d <urn:p:parent>+ ?a . ?a <urn:p:lang> "en"` counts each
     * document's English-language proper ancestors.
     */
+  private def docIri(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("urn:doc:"), c)
+
+  /** The deterministic doc_id → doc_id div 2 parent tree as quads — the
+    * ONE definition behind kg_path_plus, kg_path_star, and the shared
+    * `WITH RECURSIVE e` oracle CTE (duplicating it invites silent
+    * divergence between the gated queries).
+    */
+  private def docParentQuads(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").filter(col("doc_id") > 0)
+      .select(docIri(col("doc_id")).as("subj"), lit("urn:p:parent").as("pred"),
+        docIri(expr("doc_id div 2")).as("obj"), lit("").as("dt"))
+
   def kgPathPlus(spark: SparkSession, dir: String): DataFrame = {
     import GraphOps._
     val docs = t(spark, dir, "documents")
-    val docIri = (c: org.apache.spark.sql.Column) => concat(lit("urn:doc:"), c)
-    val parentEdges = docs.filter(col("doc_id") > 0)
-      .select(docIri(col("doc_id")).as("subj"), lit("urn:p:parent").as("pred"),
-        docIri(expr("doc_id div 2")).as("obj"), lit("").as("dt"))
     val langTriples = docs.select(docIri(col("doc_id")).as("subj"),
       lit("urn:p:lang").as("pred"), col("lang").as("obj"),
       lit(GraphOps.XsdString).as("dt"))
-    bgp(withPathClosure(parentEdges.unionByName(langTriples), "urn:p:parent"), Seq(
+    bgp(withPathClosure(docParentQuads(spark, dir).unionByName(langTriples),
+        "urn:p:parent"), Seq(
       TriplePattern(Var("d"), Const("urn:p:parent+"), Var("a")),
       TriplePattern(Var("a"), Const("urn:p:lang"), Const("en"))))
       .groupBy(col("d").as("doc"))
@@ -587,12 +617,7 @@ object SparkEntry {
     * pairs make every node reach itself.
     */
   def kgPathStar(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    val docIri = (c: org.apache.spark.sql.Column) => concat(lit("urn:doc:"), c)
-    val parentEdges = docs.filter(col("doc_id") > 0)
-      .select(docIri(col("doc_id")).as("subj"), lit("urn:p:parent").as("pred"),
-        docIri(expr("doc_id div 2")).as("obj"), lit("").as("dt"))
-    GraphOps.pathStar(parentEdges, "urn:p:parent")
+    GraphOps.pathStar(docParentQuads(spark, dir), "urn:p:parent")
       .groupBy(col("src").as("doc"))
       .agg(count(lit(1)).as("n_reachable"))
       .orderBy("doc")
@@ -631,6 +656,7 @@ object SparkEntry {
     "ann_cosine_topk" -> (annBruteForce(_, _)),
     "ann_lsh_topk" -> (annLsh(_, _)),
     "ann_ivf_topk" -> (annIvf(_, _)),
+    "ann_ivf_trained" -> (annIvfTrained(_, _)),
     // KG graph queries (Direct Mapping + BGP + graph stats)
     "kg_direct_mapping" -> (kgDirectMapping(_, _)),
     "kg_predicate_stats" -> (kgPredicateStats(_, _)),

@@ -235,12 +235,15 @@ object GraphOps {
   private val FilterRe =
     """(?i)FILTER\s*\(\s*\?(\w+)\s*(=|!=|<=|>=|<|>)\s*("[^"]*"|[^\s()]+)\s*\)""".r
 
-  /** Pull every `FILTER(?v op const)` clause out of `s`: (filters,
-    * remaining text with the clauses blanked).
+  /** Pull every `FILTER(?v op const)` clause out of `s` — which may be
+    * literal-MASKED text (see `maskLiterals`); `um` restores any masked
+    * operand before it is parsed. Returns (filters, remaining text with
+    * the clauses blanked).
     */
-  private def extractFilters(s: String): (Seq[VarFilter], String) = {
+  private def extractFilters(s: String,
+                             um: String => String = identity): (Seq[VarFilter], String) = {
     val filters = FilterRe.findAllMatchIn(s).map { m =>
-      val raw = m.group(3)
+      val raw = um(m.group(3))
       val operand =
         if (raw.startsWith("\"") && raw.endsWith("\"")) Right(raw.drop(1).dropRight(1))
         else Left(raw.toDouble) // malformed operand → NumberFormatException, loudly
@@ -251,12 +254,15 @@ object GraphOps {
 
   /** [[parsePatterns]] plus SPARQL's most common constraint form:
     * `FILTER(?v op const)` clauses anywhere in the block (numeric or
-    * quoted-string operand). Returns the patterns and the parsed filters;
-    * compile with [[bgpFiltered]].
+    * quoted-string operand). Literal-safe: quoted literals are masked
+    * first, so an object literal containing `FILTER(...)` stays data.
+    * Returns the patterns and the parsed filters; compile with
+    * [[bgpFiltered]].
     */
   def parseQuery(block: String): ParsedQuery = {
-    val (filters, rest) = extractFilters(block)
-    ParsedQuery(parsePatterns(rest), filters)
+    val (masked, lits) = maskLiterals(block)
+    val (filters, rest) = extractFilters(masked, unmask(_, lits))
+    ParsedQuery(parsePatterns(unmask(rest, lits)), filters)
   }
 
   /** [[bgp]] with post-join FILTER constraints: each filter is one
@@ -347,32 +353,57 @@ object GraphOps {
     splitTopLevelUnion(text).map(compileGroup(quads, _))
       .reduce(_.unionByName(_, allowMissingColumns = true))
 
-  /** Split on top-level `UNION` keywords (outside braces and quotes);
-    * strip each group's outer braces.
+  /** Split on top-level `UNION` keywords — outside braces, quotes, AND
+    * `<…>` IRIs (an IRI like `<urn:rel/union/x>` or a variable `?union`
+    * must not split the query); strip each group's outer braces.
     */
   private def splitTopLevelUnion(text: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     val cur = new StringBuilder
     var depth = 0
     var inQuote = false
+    var inIri = false
     var i = 0
     while (i < text.length) {
       val c = text(i)
-      if (!inQuote && depth == 0 && (c == 'U' || c == 'u') &&
+      if (!inQuote && !inIri && depth == 0 && (c == 'U' || c == 'u') &&
           text.regionMatches(true, i, "UNION", 0, 5) &&
-          (i == 0 || !text(i - 1).isLetterOrDigit) &&
+          (i == 0 || (!text(i - 1).isLetterOrDigit && text(i - 1) != '?')) &&
           (i + 5 >= text.length || !text(i + 5).isLetterOrDigit)) {
         out += cur.toString; cur.clear(); i += 5
       } else {
-        if (c == '"') inQuote = !inQuote
-        else if (!inQuote && c == '{') depth += 1
-        else if (!inQuote && c == '}') depth -= 1
+        if (!inIri && c == '"') inQuote = !inQuote
+        else if (!inQuote && c == '<') inIri = true
+        else if (!inQuote && c == '>') inIri = false
+        else if (!inQuote && !inIri && c == '{') depth += 1
+        else if (!inQuote && !inIri && c == '}') depth -= 1
         cur += c; i += 1
       }
     }
     out += cur.toString
     out.toSeq.map(g => stripOuterBraces(g.trim))
   }
+
+  private val MaskChar: Char = 1.toChar // U+0001, cannot appear in query text
+  private val MaskRe = ("\"" + MaskChar + "(\\d+)" + MaskChar + "\"").r
+
+  /** Replace every quoted literal with an opaque `"␁idx␁"` token so the
+    * block-extraction regexes can't fire on keyword lookalikes INSIDE a
+    * literal (`"MINUS { x }"` as an object must stay data, not become an
+    * anti-join).
+    */
+  private def maskLiterals(s: String): (String, IndexedSeq[String]) = {
+    val lits = scala.collection.mutable.ArrayBuffer[String]()
+    val masked = "\"[^\"]*\"".r.replaceAllIn(s, m => {
+      lits += m.matched
+      java.util.regex.Matcher.quoteReplacement("\"" + MaskChar + (lits.size - 1) + MaskChar + "\"")
+    })
+    (masked, lits.toIndexedSeq)
+  }
+
+  private def unmask(s: String, lits: IndexedSeq[String]): String =
+    MaskRe.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(lits(m.group(1).toInt)))
 
   /** Strip `{ … }` when the opening brace closes at the final char. */
   private def stripOuterBraces(s: String): String = {
@@ -396,10 +427,16 @@ object GraphOps {
     * optionals → anti-join minus groups → apply filters.
     */
   private def compileGroup(quads: DataFrame, group: String): DataFrame = {
-    val optionals = OptionalRe.findAllMatchIn(group).map(_.group(1)).toSeq
-    val gv = OptionalRe.replaceAllIn(group, " ")
+    // literal masking: the block-extraction regexes must never fire on
+    // keyword lookalikes INSIDE a quoted literal ("MINUS { x }" as an
+    // object is data); every extracted sub-block is unmasked before its
+    // own parse
+    val (maskedGroup, lits) = maskLiterals(group)
+    def um(x: String): String = unmask(x, lits)
+    val optionals = OptionalRe.findAllMatchIn(maskedGroup).map(m => um(m.group(1))).toSeq
+    val gv = OptionalRe.replaceAllIn(maskedGroup, " ")
     val valuesBlocks = ValuesRe.findAllMatchIn(gv).map { m =>
-      val vals = """"[^"]*"|\S+""".r.findAllIn(m.group(2)).toSeq.map {
+      val vals = """"[^"]*"|\S+""".r.findAllIn(um(m.group(2))).toSeq.map {
         case t if t.startsWith("<") || t.startsWith("\"") =>
           parseTerm(t) match { case Const(v) => v; case other =>
             throw new IllegalArgumentException(s"VALUES entries must be constants, got $other") }
@@ -408,13 +445,13 @@ object GraphOps {
       (m.group(1), vals)
     }.toSeq
     val g0 = ValuesRe.replaceAllIn(gv, " ")
-    val minusGroups = MinusRe.findAllMatchIn(g0).map(_.group(1)).toSeq
+    val minusGroups = MinusRe.findAllMatchIn(g0).map(m => um(m.group(1))).toSeq
     val g1 = MinusRe.replaceAllIn(g0, " ")
     val graphBlocks = GraphBlockRe.findAllMatchIn(g1)
-      .map(m => (parseTerm(m.group(1)), m.group(2))).toSeq
+      .map(m => (parseTerm(um(m.group(1))), um(m.group(2)))).toSeq
     val g2 = GraphBlockRe.replaceAllIn(g1, " ")
-    val (filters, g3) = extractFilters(g2)
-    val required = g3.trim match {
+    val (filters, g3) = extractFilters(g2, um)
+    val required = um(g3).trim match {
       case "" => Seq.empty[TriplePattern]
       case rest => parsePatterns(rest)
     }

@@ -400,6 +400,28 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("select: keyword lookalikes inside IRIs and literals are data, not syntax") {
+    val kg = quads(
+      ("s1", "urn:rel/union/member", "o1", ""),
+      ("s2", "p:note", "MINUS { x }", XsdString),
+      ("s3", "p:note", "FILTER(?y > 1)", XsdString))
+    // 'union' inside an IRI must not split the query
+    val viaIri = select(kg, "?s <urn:rel/union/member> ?o")
+      .select("s").collect().map(_.getString(0)).toSeq
+    assert(viaIri == Seq("s1"))
+    // 'MINUS { … }' / 'FILTER(…)' inside literals must stay literals
+    val minusLit = select(kg, """?s <p:note> "MINUS { x }" """)
+      .select("s").collect().map(_.getString(0)).toSeq
+    assert(minusLit == Seq("s2"))
+    val filterLit = select(kg, """?s <p:note> "FILTER(?y > 1)" """)
+      .select("s").collect().map(_.getString(0)).toSeq
+    assert(filterLit == Seq("s3"))
+    // and a variable named ?union is a normal variable
+    val viaVar = select(kg, "?union <urn:rel/union/member> ?o")
+      .select("union").collect().map(_.getString(0)).toSeq
+    assert(viaVar == Seq("s1"))
+  }
+
   test("select: plain pattern block equals bgp; empty branch rejected") {
     val kg = quads(("a", "p:x", "b", ""), ("b", "p:x", "c", ""))
     val viaSelect = select(kg, "?s <p:x> ?o").select("s", "o").collect()
