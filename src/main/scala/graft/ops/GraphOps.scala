@@ -353,35 +353,42 @@ object GraphOps {
     splitTopLevelUnion(text).map(compileGroup(quads, _))
       .reduce(_.unionByName(_, allowMissingColumns = true))
 
-  /** Split on top-level `UNION` keywords — outside braces, quotes, AND
-    * `<…>` IRIs (an IRI like `<urn:rel/union/x>` or a variable `?union`
-    * must not split the query); strip each group's outer braces.
+  /** Split on top-level `UNION` keywords — outside braces, quotes, and
+    * `<…>` IRIs. The scanner runs over MASKED text (literals first, then
+    * IRI tokens), so a literal containing `UNION`/braces, an IRI like
+    * `<urn:rel/union/x>`, or a FILTER comparison `?x < 5` (a bare `<`
+    * with no closing `>` in the same token is an operator, never an
+    * IRI opener — the round-4 scanner mis-lexed it and swallowed
+    * everything to the next `>`) can't confuse it. A keyword only
+    * splits at a whitespace/brace boundary on both sides, so a
+    * variable `?my_union` stays a variable. Strips each group's outer
+    * braces.
     */
   private def splitTopLevelUnion(text: String): Seq[String] = {
+    val (litMasked, lits) = maskLiterals(text)
+    val (masked, iris) = maskIris(litMasked)
     val out = scala.collection.mutable.ArrayBuffer[String]()
     val cur = new StringBuilder
     var depth = 0
-    var inQuote = false
-    var inIri = false
     var i = 0
-    while (i < text.length) {
-      val c = text(i)
-      if (!inQuote && !inIri && depth == 0 && (c == 'U' || c == 'u') &&
-          text.regionMatches(true, i, "UNION", 0, 5) &&
-          (i == 0 || (!text(i - 1).isLetterOrDigit && text(i - 1) != '?')) &&
-          (i + 5 >= text.length || !text(i + 5).isLetterOrDigit)) {
+    def boundary(c: Char): Boolean = c.isWhitespace || c == '{' || c == '}'
+    while (i < masked.length) {
+      val c = masked(i)
+      if (depth == 0 && (c == 'U' || c == 'u') &&
+          masked.regionMatches(true, i, "UNION", 0, 5) &&
+          (i == 0 || boundary(masked(i - 1))) &&
+          (i + 5 >= masked.length || boundary(masked(i + 5)))) {
         out += cur.toString; cur.clear(); i += 5
       } else {
-        if (!inIri && c == '"') inQuote = !inQuote
-        else if (!inQuote && c == '<') inIri = true
-        else if (!inQuote && c == '>') inIri = false
-        else if (!inQuote && !inIri && c == '{') depth += 1
-        else if (!inQuote && !inIri && c == '}') depth -= 1
+        if (c == '{') depth += 1
+        else if (c == '}') depth -= 1
         cur += c; i += 1
       }
     }
     out += cur.toString
-    out.toSeq.map(g => stripOuterBraces(g.trim))
+    // strip braces while still masked (every brace in masked text is
+    // structural), THEN restore IRIs and literals
+    out.toSeq.map(g => unmask(unmaskIris(stripOuterBraces(g.trim), iris), lits))
   }
 
   private val MaskChar: Char = 1.toChar // U+0001, cannot appear in query text
@@ -404,6 +411,28 @@ object GraphOps {
   private def unmask(s: String, lits: IndexedSeq[String]): String =
     MaskRe.replaceAllIn(s, m =>
       java.util.regex.Matcher.quoteReplacement(lits(m.group(1).toInt)))
+
+  private val IriMaskChar: Char = 2.toChar // U+0002, cannot appear in query text
+  private val IriMaskRe = (IriMaskChar + "(\\d+)" + IriMaskChar).r
+
+  /** Replace every `<…>` IRI token with an opaque `␂idx␂` placeholder.
+    * Only a `<` with a matching `>` in the SAME whitespace-free token is
+    * an IRI — a FILTER operator `<`/`<=` never matches, so it survives
+    * as an operator. Run on literal-masked text (a literal may contain
+    * `<…>` lookalikes that must stay data).
+    */
+  private def maskIris(s: String): (String, IndexedSeq[String]) = {
+    val iris = scala.collection.mutable.ArrayBuffer[String]()
+    val masked = "<[^<>\\s]*>".r.replaceAllIn(s, m => {
+      iris += m.matched
+      java.util.regex.Matcher.quoteReplacement(IriMaskChar.toString + (iris.size - 1) + IriMaskChar)
+    })
+    (masked, iris.toIndexedSeq)
+  }
+
+  private def unmaskIris(s: String, iris: IndexedSeq[String]): String =
+    IriMaskRe.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(iris(m.group(1).toInt)))
 
   /** Strip `{ … }` when the opening brace closes at the final char. */
   private def stripOuterBraces(s: String): String = {

@@ -300,38 +300,50 @@ object SimilarityOps {
     */
   def trainIvfCentroids(vectors: DataFrame, emb: Column, id: Column,
                         k: Int, iterations: Int = 5): Seq[(Int, Seq[Double])] = {
-    require(k >= 1 && iterations >= 0, "k and iterations must be positive")
-    val init = vectors.select(id.as("vid"), emb.as("v"))
-      .orderBy(col("vid")).limit(k)
-      .collect()
-      .zipWithIndex
-      .map { case (r, i) => (i + 1, r.getSeq[Float](1).map(_.toDouble).toSeq) }
-      .toSeq
-    (1 to iterations).foldLeft(init) { (cents, _) =>
-      // assignment in its own projection stage: combining the argmax
-      // struct with a generator alias in ONE select strips the struct's
-      // field names during resolution (Spark re-resolves the projection
-      // around the generator)
-      val sums = vectors
-        .select(emb.as("v"))
-        .select(ivfAssign(col("v"), cents).as("cell"), col("v"))
-        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cell"), col("dim"))
-        .agg(sum((col("x").cast("double") * 1000000.0).cast("long")).as("qsum"),
-          count(lit(1)).as("n"))
+    require(k >= 1, "k must be >= 1")
+    require(iterations >= 0, "iterations must be >= 0")
+    // cache the training set: the init collect + every Lloyd iteration
+    // reads it, and without the cache each pass re-evaluates the full
+    // upstream lineage (for a parquet-backed training set that's
+    // iterations+1 scans instead of one)
+    val train = vectors.select(id.as("vid"), emb.as("v")).cache()
+    try {
+      val init = train
+        .orderBy(col("vid")).limit(k)
         .collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
-        .toMap
-      cents.map { case (cid, c) =>
-        val updated = c.indices.map { d =>
-          sums.get((cid, d)) match {
-            case Some((qsum, n)) => qsum.toDouble / n / 1000000.0
-            case None => c(d) // empty cell: keep previous centroid
+        .zipWithIndex
+        .map { case (r, i) => (i + 1, r.getSeq[Float](1).map(_.toDouble).toSeq) }
+        .toSeq
+      // a k-cell codebook needs k seeds — silently training a smaller
+      // one would break every caller that probes `nprobe of k` cells
+      require(init.size == k,
+        s"training set has only ${init.size} vectors, need at least k = $k")
+      (1 to iterations).foldLeft(init) { (cents, _) =>
+        // assignment in its own projection stage: combining the argmax
+        // struct with a generator alias in ONE select strips the struct's
+        // field names during resolution (Spark re-resolves the projection
+        // around the generator)
+        val sums = train
+          .select(col("v"))
+          .select(ivfAssign(col("v"), cents).as("cell"), col("v"))
+          .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("cell"), col("dim"))
+          .agg(sum((col("x").cast("double") * 1000000.0).cast("long")).as("qsum"),
+            count(lit(1)).as("n"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+          .toMap
+        cents.map { case (cid, c) =>
+          val updated = c.indices.map { d =>
+            sums.get((cid, d)) match {
+              case Some((qsum, n)) => qsum.toDouble / n / 1000000.0
+              case None => c(d) // empty cell: keep previous centroid
+            }
           }
+          (cid, updated)
         }
-        (cid, updated)
       }
-    }
+    } finally train.unpersist()
   }
 
   /** DuckDB SQL fragment computing cosine(`aExpr`, `bExpr`) over FLOAT[]

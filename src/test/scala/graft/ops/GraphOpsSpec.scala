@@ -250,11 +250,13 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sparkContext.addSparkListener(listener)
     try {
       val plan = GraphOps.ask(kg, Seq(TriplePattern(Var("s"), Const("p:x"), Var("o"))))
-      Thread.sleep(500) // listener bus is async — give a stray job time to surface
+      // deterministic sync: drain the async listener bus instead of
+      // sleeping (fixed sleeps made both asserts timing-dependent)
+      org.apache.spark.GraftTestAccess.waitListenerBus(spark.sparkContext)
       assert(jobs == 0, "building the ASK DataFrame must not execute anything")
       val got = plan.collect()
       assert(got.length == 1 && got(0).getBoolean(0))
-      Thread.sleep(500)
+      org.apache.spark.GraftTestAccess.waitListenerBus(spark.sparkContext)
       assert(jobs > 0, "collect() must be what runs the job")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
@@ -420,6 +422,37 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val viaVar = select(kg, "?union <urn:rel/union/member> ?o")
       .select("union").collect().map(_.getString(0)).toSeq
     assert(viaVar == Seq("s1"))
+  }
+
+  test("select: FILTER '<'/'<=' operators inside UNION branches are operators, not IRI openers") {
+    val kg = quads(
+      ("s1", "p:supp", "n1", ""), ("c1", "p:cust", "n1", ""), ("c2", "p:cust", "n2", ""),
+      ("n1", "p:rk", "1", XsdInteger), ("n2", "p:rk", "3", XsdInteger))
+    // round-4 scanner flipped inIri at the bare '<' and swallowed the
+    // following UNION — this must parse as two branches
+    val got = select(kg,
+      """{ ?m <p:cust> ?n . ?n <p:rk> ?rk . FILTER(?rk < 2) }
+        |UNION
+        |{ ?m <p:supp> ?n }""".stripMargin)
+      .select("m", "n").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("c1", "n1"), ("s1", "n1")),
+      "c2 dropped by rk<2; supplier branch must survive the '<' before it")
+    // '<=' variant, operator in the SECOND branch
+    val le = select(kg,
+      """{ ?m <p:supp> ?n }
+        |UNION
+        |{ ?m <p:cust> ?n . ?n <p:rk> ?rk . FILTER(?rk <= 1) }""".stripMargin)
+      .select("m").collect().map(_.getString(0)).toSet
+    assert(le == Set("s1", "c1"))
+  }
+
+  test("select: '?my_union' variable does not trigger a bogus top-level split") {
+    val kg = quads(("a", "p:x", "b", ""))
+    val got = select(kg, "?my_union <p:x> ?o")
+      .select("my_union", "o").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("a", "b")))
   }
 
   test("select: plain pattern block equals bgp; empty branch rejected") {
