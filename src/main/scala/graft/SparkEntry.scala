@@ -275,10 +275,13 @@ object SparkEntry {
 
   /** IVF with a TRAINED codebook: deterministic distributed k-means
     * (quantized-sum Lloyd, no RNG) over the corpus, then the standard
-    * nprobe cell search. No SQL oracle — replaying iterative k-means in
-    * DuckDB is not practical — so the driver records the weaker
-    * rows-only check; bit-reproducibility of the training itself is
-    * gated in GraphOpsSpec (repartition(1) ≡ repartition(7)).
+    * nprobe cell search. The training was BUILT replayable — smallest-id
+    * seeding, bit-portable cosine argmax, order-independent quantized
+    * integer sums — so the DuckDB oracle replays both Lloyd iterations
+    * as chained CTEs ([[trainedIvfOracleSql]]) and the gate is
+    * value-level, not rows-only. Bit-reproducibility across
+    * partitionings is additionally gated in GraphOpsSpec
+    * (repartition(1) ≡ repartition(7)).
     */
   def annIvfTrained(spark: SparkSession, dir: String): DataFrame = {
     val vecs = t(spark, dir, "embeddings").filter(col("vec_id") =!= 0)
@@ -750,6 +753,65 @@ object SparkEntry {
        |      greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS j
        |  FROM cand JOIN sg a ON a.doc_id = doc_a JOIN sg b ON b.doc_id = doc_b)""".stripMargin
 
+  /** DuckDB replay of [[SimilarityOps.trainIvfCentroids]] +
+    * [[SimilarityOps.ivfTopK]] over the embeddings table — the full
+    * trained-IVF query as chained CTEs. Exactness rests on three design
+    * choices the trainer made FOR replayability:
+    *
+    *  - seeding = the k smallest vec_ids (c0), no RNG;
+    *  - assignment = argmax of the bit-portable cosine fold
+    *    ([[SimilarityOps.cosineFoldSql]] — left-to-right double sums,
+    *    ties to the smaller cell id via `row_number`);
+    *  - update = per-(cell, dim) sums of TRUNCATED integer micro-units
+    *    (`trunc` ≡ Spark's double→long cast, toward zero; `sum(BIGINT)`
+    *    is order-independent), then `qsum / n / 1e6` in the same
+    *    left-to-right double division order.
+    *
+    * Each iteration i: `a_i` assigns every vector to its nearest
+    * c_{i-1} centroid; `x_i`/`s_i` quantize and sum per (cell, dim);
+    * `g_i` explodes the previous centroids as the keep-on-empty
+    * fallback; `c_i` rebuilds the codebook arrays (1-based DuckDB list
+    * indexes — consistent on both sides of the join, so the 0-based
+    * Spark dims align). The tail replays ivfTopK: nprobe cells nearest
+    * the query, exact cosine top-k inside them.
+    */
+  private def trainedIvfOracleSql(k: Int, iterations: Int, nprobe: Int,
+                                  topK: Int): String = {
+    def cos(a: String, b: String) = SimilarityOps.cosineFoldSql(a, b)
+    def iterCtes(i: Int): String = {
+      val prev = s"c${i - 1}"
+      s"""a$i AS (SELECT embedding, cell FROM (
+         |    SELECT v.embedding, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY ${cos("v.embedding", "c.ce")} DESC, c.cid) AS rn
+         |    FROM vecs v CROSS JOIN $prev c) WHERE rn = 1),
+         |x$i AS (SELECT cell, u.i AS dim, CAST(trunc(CAST(u.x AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+         |  FROM (SELECT cell, unnest(list_transform(embedding, (x, j) -> {'x': x, 'i': j})) AS u FROM a$i)),
+         |s$i AS (SELECT cell, dim, sum(q) AS qsum, count(*) AS n FROM x$i GROUP BY cell, dim),
+         |g$i AS (SELECT cid, u.i AS dim, u.x AS prevx
+         |  FROM (SELECT cid, unnest(list_transform(ce, (x, j) -> {'x': x, 'i': j})) AS u FROM $prev)),
+         |c$i AS (SELECT cid, list(val ORDER BY dim) AS ce FROM (
+         |    SELECT g.cid, g.dim,
+         |      COALESCE(CAST(s.qsum AS DOUBLE) / s.n / 1000000.0, CAST(g.prevx AS DOUBLE)) AS val
+         |    FROM g$i g LEFT JOIN s$i s ON s.cell = g.cid AND s.dim = g.dim) GROUP BY cid)""".stripMargin
+    }
+    s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+       |  FROM (SELECT vec_id, embedding FROM vecs ORDER BY vec_id LIMIT $k)),
+       |${(1 to iterations).map(iterCtes).mkString(",\n")},
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |probes AS (SELECT cid FROM (
+       |    SELECT cid, row_number() OVER (ORDER BY ${cos("qe", "ce")} DESC, cid) AS rn
+       |    FROM c$iterations, q) WHERE rn <= $nprobe),
+       |assigned AS (SELECT vec_id, embedding, cell FROM (
+       |    SELECT v.vec_id, v.embedding, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY ${cos("v.embedding", "c.ce")} DESC, c.cid) AS rn
+       |    FROM vecs v CROSS JOIN c$iterations c) WHERE rn = 1)
+       |SELECT vec_id, round(${cos("assigned.embedding", "qe")}, 4) AS cosine
+       |FROM assigned, q, probes WHERE assigned.cell = probes.cid
+       |ORDER BY cosine DESC, vec_id LIMIT $topK""".stripMargin
+  }
+
   /** The Direct-Mapped TPC-H KG replayed in SQL — the same triples
     * [[kgTriples]] emits, as a CTE the graph-query oracles share.
     */
@@ -769,6 +831,11 @@ object SparkEntry {
        |    'urn:dm:nation/'||s_nationkey, '' FROM supplier)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // IVF with the TRAINED codebook: full replay of the deterministic
+    // quantized-sum Lloyd iterations + the nprobe cell search — the
+    // parameters mirror annIvfTrained exactly
+    "ann_ivf_trained" -> trainedIvfOracleSql(k = 8, iterations = 2,
+      nprobe = 3, topK = 10),
     // IVF ANN: 16 deterministic centroids (vec_id 1..16), nearest-cell
     // assignment with the bit-portable cosine fold (same left-to-right
     // double arithmetic as Spark's aggregate), probe the 4 cells nearest
