@@ -400,19 +400,18 @@ object SparkEntry {
       .orderBy("src")
   }
 
-  /** CONSTRUCT over a parsed BGP: derive `?cust <urn:dm:locatedIn>
-    * ?region` triples for customers in ASIA — the query layer's
-    * parse → match → construct path end-to-end.
+  /** CONSTRUCT through the text grammar (round 5 — previously assembled
+    * via parsePatterns + construct by hand): derive `?cust
+    * <urn:dm:locatedIn> ?region` triples for customers in ASIA from ONE
+    * query string, same oracle.
     */
-  def kgConstruct(spark: SparkSession, dir: String): DataFrame = {
-    import GraphOps._
-    val bindings = bgp(kgTriples(spark, dir), parsePatterns(
-      """?cust <urn:dm:customer#ref-c_nationkey> ?nation .
-        |?nation <urn:dm:nation#ref-n_regionkey> ?region .
-        |?region <urn:dm:region#r_name> "ASIA"""".stripMargin))
-    construct(bindings, parsePatterns("?cust <urn:dm:locatedIn> ?region"))
+  def kgConstruct(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.constructQuery(kgTriples(spark, dir),
+      """CONSTRUCT { ?cust <urn:dm:locatedIn> ?region }
+        |WHERE { ?cust <urn:dm:customer#ref-c_nationkey> ?nation .
+        |        ?nation <urn:dm:nation#ref-n_regionkey> ?region .
+        |        ?region <urn:dm:region#r_name> "ASIA" }""".stripMargin)
       .orderBy("subj")
-  }
 
   /** ASK: is any customer in nation 1? One boolean row. */
   def kgAsk(spark: SparkSession, dir: String): DataFrame = {
@@ -601,30 +600,72 @@ object SparkEntry {
         docIri(expr("doc_id div 2")).as("obj"), lit("").as("dt"))
 
   def kgPathPlus(spark: SparkSession, dir: String): DataFrame = {
-    import GraphOps._
+    // the WHOLE query — terse `<p>+` path (auto-bridged closure), BGP
+    // join, aggregation, ordering — is one text string (round 5;
+    // previously the closure was pre-bridged by hand)
     val docs = t(spark, dir, "documents")
     val langTriples = docs.select(docIri(col("doc_id")).as("subj"),
       lit("urn:p:lang").as("pred"), col("lang").as("obj"),
       lit(GraphOps.XsdString).as("dt"))
-    bgp(withPathClosure(docParentQuads(spark, dir).unionByName(langTriples),
-        "urn:p:parent"), Seq(
-      TriplePattern(Var("d"), Const("urn:p:parent+"), Var("a")),
-      TriplePattern(Var("a"), Const("urn:p:lang"), Const("en"))))
-      .groupBy(col("d").as("doc"))
-      .agg(count(lit(1)).as("n_en_ancestors"))
-      .orderBy("doc")
+    GraphOps.select(docParentQuads(spark, dir).unionByName(langTriples),
+      """SELECT ?doc (COUNT(*) AS ?n_en_ancestors) WHERE {
+        |  ?doc <urn:p:parent>+ ?a . ?a <urn:p:lang> "en"
+        |} GROUP BY ?doc ORDER BY ?doc""".stripMargin)
   }
 
-  /** Property path `p*` (zero-or-more): reachable-in-≥0-steps counts per
-    * document over the parent tree — [[GraphOps.pathStar]]'s identity
-    * pairs make every node reach itself.
+  /** Property path `p*` (zero-or-more) through the text grammar:
+    * reachable-in-≥0-steps counts per document over the parent tree —
+    * the `<p>*` virtual triples include the identity pairs.
     */
-  def kgPathStar(spark: SparkSession, dir: String): DataFrame = {
-    GraphOps.pathStar(docParentQuads(spark, dir), "urn:p:parent")
-      .groupBy(col("src").as("doc"))
-      .agg(count(lit(1)).as("n_reachable"))
-      .orderBy("doc")
-  }
+  def kgPathStar(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(docParentQuads(spark, dir),
+      """SELECT ?doc (COUNT(*) AS ?n_reachable) WHERE {
+        |  ?doc <urn:p:parent>* ?x
+        |} GROUP BY ?doc ORDER BY ?doc""".stripMargin)
+
+  /** Sequence property path through the grammar: customer →(nationkey)
+    * nation →(regionkey) region in ONE predicate `<a>/<b>`, customers
+    * counted per region. The chain joins through an internal hop
+    * variable the compiler generates and drops.
+    */
+  def kgPathSeq(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """SELECT ?r (COUNT(*) AS ?n_customers) WHERE {
+        |  ?c <urn:dm:customer#ref-c_nationkey>/<urn:dm:nation#ref-n_regionkey> ?r
+        |} GROUP BY ?r ORDER BY ?r""".stripMargin)
+
+  /** The round-4 `<`-operator lexer defect, now oracle-gated: FILTER
+    * with `<` / `<=` inside UNION branches — the bare `<` must lex as a
+    * comparison operator, not an IRI opener that swallows the UNION.
+    */
+  def kgUnionFilterLt(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """SELECT ?n (COUNT(*) AS ?n_members) WHERE {
+        |  { ?m <urn:dm:supplier#ref-s_nationkey> ?n .
+        |    ?n <urn:dm:nation#n_regionkey> ?rk . FILTER(?rk < 2) }
+        |  UNION
+        |  { ?m <urn:dm:customer#ref-c_nationkey> ?n .
+        |    ?n <urn:dm:nation#n_regionkey> ?rk2 . FILTER(?rk2 <= 1) }
+        |} GROUP BY ?n ORDER BY ?n""".stripMargin)
+
+  /** Solution modifiers end-to-end: the aggregation tail of the round-4
+    * `kg_select` query now runs THROUGH the grammar (SELECT head, GROUP
+    * BY, ORDER BY) instead of finishing in DataFrame code.
+    */
+  def kgSelectAgg(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """SELECT ?n (COUNT(*) AS ?n_members) (COUNT(?rk) AS ?n_filtered) WHERE {
+        |  { ?m <urn:dm:supplier#ref-s_nationkey> ?n }
+        |  UNION
+        |  { ?m <urn:dm:customer#ref-c_nationkey> ?n .
+        |    ?n <urn:dm:nation#n_regionkey> ?rk . FILTER(?rk >= 2) }
+        |} GROUP BY ?n ORDER BY ?n""".stripMargin)
+
+  /** DISTINCT + ORDER BY DESC + LIMIT through the grammar. */
+  def kgSelectModifiers(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """SELECT DISTINCT ?n WHERE { ?m <urn:dm:customer#ref-c_nationkey> ?n }
+        |ORDER BY DESC(?n) LIMIT 5""".stripMargin)
 
   // --------------------------------------------------------------- map
 
@@ -672,7 +713,11 @@ object SparkEntry {
     "kg_graph_patterns" -> (kgGraphPatterns(_, _)),
     "kg_path_plus" -> (kgPathPlus(_, _)),
     "kg_path_star" -> (kgPathStar(_, _)),
+    "kg_path_seq" -> (kgPathSeq(_, _)),
     "kg_select" -> (kgSelect(_, _)),
+    "kg_select_agg" -> (kgSelectAgg(_, _)),
+    "kg_select_modifiers" -> (kgSelectModifiers(_, _)),
+    "kg_union_filter_lt" -> (kgUnionFilterLt(_, _)),
     "kg_minus" -> (kgMinus(_, _)),
     "kg_values" -> (kgValues(_, _)),
     "kg_construct" -> (kgConstruct(_, _)),
@@ -978,6 +1023,35 @@ object SparkEntry {
         |  SELECT 'urn:dm:nation/'||c_nationkey, n_regionkey FROM customer
         |  JOIN nation ON n_nationkey = c_nationkey WHERE n_regionkey >= 2)
         |GROUP BY nation ORDER BY nation""".stripMargin,
+    // sequence property path <a>/<b>: customer→nation→region chained
+    // through the compiler's internal hop variable
+    "kg_path_seq" ->
+      """SELECT 'urn:dm:region/'||n_regionkey AS r, count(*) AS n_customers
+        |FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // FILTER '<'/'<=' inside UNION branches (the round-4 lexer trap):
+    // suppliers in regions < 2 plus customers in regions <= 1
+    "kg_union_filter_lt" ->
+      """SELECT n, count(*) AS n_members FROM (
+        |  SELECT 'urn:dm:nation/'||s_nationkey AS n FROM supplier
+        |  JOIN nation ON n_nationkey = s_nationkey WHERE n_regionkey < 2
+        |  UNION ALL
+        |  SELECT 'urn:dm:nation/'||c_nationkey FROM customer
+        |  JOIN nation ON n_nationkey = c_nationkey WHERE n_regionkey <= 1)
+        |GROUP BY n ORDER BY n""".stripMargin,
+    // kg_select's aggregation tail, now entirely through the grammar
+    "kg_select_agg" ->
+      """SELECT n, count(*) AS n_members,
+        |  CAST(count(rk) AS BIGINT) AS n_filtered FROM (
+        |  SELECT 'urn:dm:nation/'||s_nationkey AS n, NULL AS rk FROM supplier
+        |  UNION ALL
+        |  SELECT 'urn:dm:nation/'||c_nationkey, n_regionkey FROM customer
+        |  JOIN nation ON n_nationkey = c_nationkey WHERE n_regionkey >= 2)
+        |GROUP BY n ORDER BY n""".stripMargin,
+    // DISTINCT + ORDER BY DESC + LIMIT through the grammar
+    "kg_select_modifiers" ->
+      """SELECT DISTINCT 'urn:dm:nation/'||c_nationkey AS n FROM customer
+        |ORDER BY n DESC LIMIT 5""".stripMargin,
     // VALUES: inline nation list, broadcast-joined
     "kg_values" ->
       """SELECT 'urn:dm:nation/'||c_nationkey AS nation, count(*) AS n_customers

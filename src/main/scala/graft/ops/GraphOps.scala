@@ -180,9 +180,16 @@ object GraphOps {
     * dots (`?a <p> ?b . ?b <q> "x"`); terms are `?var`, `<iri>`, or a
     * double-quoted literal (spaces — and standalone dots — allowed inside
     * quotes: the block is TOKENIZED first, then split on `.` tokens, so a
-    * literal like `"one . two"` never splits a pattern). Deliberately
-    * tiny — the compile target is [[bgp]]/[[bgpOptional]]/[[construct]],
-    * not a full SPARQL grammar.
+    * literal like `"one . two"` never splits a pattern).
+    *
+    * Predicate position additionally accepts SPARQL property-path terse
+    * forms: `<p>+` / `<p>*` (compiled against the virtual closure
+    * triples of [[withPathClosure]]/[[withPathStarClosure]] — [[select]]
+    * bridges them automatically) and sequences `<a>/<b>` (each segment
+    * optionally `+`/`*`-suffixed), which expand to a chain of patterns
+    * through fresh internal variables (dropped from [[select]] output).
+    * Deliberately tiny — the compile target is
+    * [[bgp]]/[[bgpOptional]]/[[construct]], not a full SPARQL grammar.
     */
   def parsePatterns(block: String): Seq[TriplePattern] = {
     val termRe = """"[^"]*"|\S+""".r
@@ -192,11 +199,48 @@ object GraphOps {
     val groups = toks.foldLeft(List(List.empty[String])) { (acc, t) =>
       if (t == ".") List.empty[String] :: acc else (t :: acc.head) :: acc.tail
     }.map(_.reverse).reverse.filter(_.nonEmpty)
-    groups.map { p =>
+    groups.flatMap { p =>
       require(p.length == 3, s"pattern needs exactly 3 terms: '${p.mkString(" ")}'")
-      TriplePattern(parseTerm(p(0)), parseTerm(p(1)), parseTerm(p(2)))
+      expandPredicate(parseTerm(p(0)), p(1), parseTerm(p(2)))
     }
   }
+
+  /** Internal-variable namespace for path-sequence expansion; [[select]]
+    * drops these columns from its output. Globally unique (atomic
+    * counter): two sequence patterns in DIFFERENT sub-blocks of one
+    * query must never join on an accidentally shared internal name.
+    */
+  private val SeqVarPrefix = "__seq"
+  private val seqCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Expand one parsed (subject, predicate-token, object) into pattern(s):
+    * a sequence token `<a>/<b>+/<c>` becomes a chain through fresh
+    * internal variables; anything else is a single pattern. The split
+    * fires only on `/` BETWEEN IRI tokens (after `>`/`>+`/`>*`, before
+    * `<`) — a `/` inside an IRI like `<urn:dm:nation/1>` never splits.
+    */
+  private def expandPredicate(s: Term, predToken: String, o: Term): Seq[TriplePattern] = {
+    val segs = predToken.split("(?<=>[+*]?)/(?=<)").toSeq
+    if (segs.length == 1) Seq(TriplePattern(s, parsePathTerm(predToken), o))
+    else {
+      val hops = segs.indices.map(i =>
+        if (i == segs.length - 1) o
+        else Var(SeqVarPrefix + seqCounter.getAndIncrement()))
+      segs.zipWithIndex.map { case (seg, i) =>
+        TriplePattern(if (i == 0) s else hops(i - 1), parsePathTerm(seg), hops(i))
+      }
+    }
+  }
+
+  /** [[parseTerm]] plus the path forms `<iri>+` / `<iri>*`, which compile
+    * to the virtual closure predicate `iri+` / `iri*` (the naming contract
+    * of [[withPathClosure]]/[[withPathStarClosure]]).
+    */
+  private def parsePathTerm(t: String): Term =
+    if (t.length > 3 && t.startsWith("<") &&
+        (t.endsWith(">+") || t.endsWith(">*")))
+      Const(t.substring(1, t.length - 2) + t.last)
+    else parseTerm(t)
 
   /** One term: `?var`, `<iri>`, or a double-quoted literal. */
   def parseTerm(t: String): Term =
@@ -327,11 +371,13 @@ object GraphOps {
     *
     * {{{
     * select(quads, """
-    *   { ?m <urn:s#ref> ?n }
-    *   UNION
-    *   { ?m <urn:c#ref> ?n . ?n <urn:n#rk> ?rk . FILTER(?rk >= 2) .
-    *     OPTIONAL { ?m <urn:label> ?lbl } .
-    *     GRAPH ?g { ?n <urn:n#name> ?nm } }
+    *   SELECT ?n (COUNT(*) AS ?n_members) WHERE {
+    *     { ?m <urn:s#ref> ?n }
+    *     UNION
+    *     { ?m <urn:c#ref> ?n . ?n <urn:n#rk> ?rk . FILTER(?rk >= 2) .
+    *       OPTIONAL { ?m <urn:label> ?lbl } .
+    *       GRAPH ?g { ?n <urn:n#name> ?nm } }
+    *   } GROUP BY ?n ORDER BY ?n LIMIT 10
     * """)
     * }}}
     *
@@ -344,14 +390,216 @@ object GraphOps {
     * inner join); `GRAPH ?g|<iri>|"" { patterns }`
     * (requires a `graph` column); `UNION` between top-level groups
     * (brace the groups) — solutions union by name, branch-unbound
-    * variables null. No nesting beyond one level of braces; no
-    * expressions; property paths are pre-bridged via
-    * [[withPathClosure]]. UNION/brace splitting is quote-aware (a
-    * literal containing `UNION` or `{` is safe).
+    * variables null; property paths `<p>+` / `<p>*` and sequences
+    * `<a>/<b>` in predicate position (see [[parsePatterns]] — closure
+    * predicates are bridged automatically, which makes a path-bearing
+    * query EAGER at call time: the closure loop runs Spark jobs).
+    *
+    * Solution modifiers (the `SELECT … WHERE { … }` form; a bare
+    * pattern block without the head returns all bindings as before):
+    * projection by variable, `DISTINCT`, aggregate projections
+    * `(COUNT(*)|COUNT(?v)|SUM(?v)|MIN(?v)|MAX(?v)|AVG(?v) AS ?alias)`
+    * with `GROUP BY ?v …` (SUM/AVG cast the lexical form to double;
+    * MIN/MAX compare lexically; COUNT(?v) counts bound solutions),
+    * `ORDER BY [ASC|DESC](?v) …`, `LIMIT n`. Unparseable trailing text
+    * raises — never silently ignored. (One deliberate limitation: a
+    * variable literally named `?where` is not usable in the headed
+    * form.) UNION/brace splitting is quote- and IRI-aware (a literal
+    * containing `UNION` or `{`, or an IRI containing `union`, is safe).
     */
-  def select(quads: DataFrame, text: String): DataFrame =
-    splitTopLevelUnion(text).map(compileGroup(quads, _))
+  def select(quads: DataFrame, text: String): DataFrame = {
+    val (masked, lits) = maskLiterals(text)
+    masked match {
+      case SelectHeadRe(head, rest) =>
+        val (distinct, projs) = parseProjections(head)
+        val (bodyMasked, tailMasked) = extractBraceBlock(rest)
+        applyModifiers(compileBody(quads, unmask(bodyMasked, lits)),
+          distinct, projs, tailMasked)
+      case _ => compileBody(quads, text)
+    }
+  }
+
+  /** `CONSTRUCT { template } WHERE { body }` through the text grammar —
+    * the body accepts everything [[select]]'s pattern surface does
+    * (UNION/FILTER/OPTIONAL/MINUS/GRAPH/VALUES/paths), the template is a
+    * plain pattern block instantiated per solution via [[construct]]
+    * (set semantics: output triples are distinct).
+    */
+  def constructQuery(quads: DataFrame, text: String): DataFrame = {
+    val (masked, lits) = maskLiterals(text)
+    val afterKeyword = masked match {
+      case ConstructHeadRe(rest) => rest
+      case _ => throw new IllegalArgumentException(
+        s"constructQuery expects 'CONSTRUCT { … } WHERE { … }', got '$text'")
+    }
+    val (tmplMasked, afterTemplate) = extractBraceBlock(afterKeyword)
+    val afterWhere = afterTemplate match {
+      case WhereTailRe(rest) => rest
+      case _ => throw new IllegalArgumentException(
+        s"expected WHERE after the CONSTRUCT template in '$text'")
+    }
+    val (bodyMasked, tail) = extractBraceBlock(afterWhere)
+    require(tail.trim.isEmpty, s"unrecognized text after WHERE block: '${tail.trim}'")
+    construct(compileBody(quads, unmask(bodyMasked, lits)),
+      parsePatterns(unmask(tmplMasked, lits)))
+  }
+
+  private val SelectHeadRe = """(?is)^\s*SELECT\b(.*?)\bWHERE\b(.*)$""".r
+  private val ConstructHeadRe = """(?is)^\s*CONSTRUCT\b(.*)$""".r
+  private val WhereTailRe = """(?is)^\s*WHERE\b(.*)$""".r
+
+  /** The pattern surface below the optional SELECT head: bridge any
+    * `<p>+`/`<p>*` closure predicates, compile the UNION branches, drop
+    * the internal sequence-hop columns.
+    */
+  private def compileBody(quads: DataFrame, body: String): DataFrame = {
+    val df = splitTopLevelUnion(body).map(compileGroup(bridgePaths(quads, body), _))
       .reduce(_.unionByName(_, allowMissingColumns = true))
+    df.drop(df.columns.filter(_.startsWith(SeqVarPrefix)).toSeq: _*)
+  }
+
+  /** Augment `quads` with the virtual closure triples for every `<p>+` /
+    * `<p>*` path predicate the body mentions (literal-masked scan, so a
+    * literal containing a path lookalike stays data). EAGER: each
+    * closure materializes when this runs — at 100× scale these are
+    * stored, incrementally maintained closure tables and this bridge
+    * compiles against them instead.
+    */
+  private def bridgePaths(quads: DataFrame, body: String): DataFrame = {
+    val (masked, _) = maskLiterals(body)
+    val found = "<([^<>\\s]*)>([+*])".r.findAllMatchIn(masked)
+      .map(m => (m.group(1), m.group(2))).toSeq.distinct
+    found.foldLeft(quads) {
+      case (q, (p, "+")) => withPathClosure(q, p)
+      case (q, (p, _)) => withPathStarClosure(q, p)
+    }
+  }
+
+  // ---------------------------------------------- solution modifiers
+
+  /** One SELECT-head projection: a plain variable or an aggregate. */
+  sealed private trait Proj
+  private final case class ProjVar(name: String) extends Proj
+  /** `arg = None` is `COUNT(*)`. */
+  private final case class ProjAgg(func: String, arg: Option[String],
+                                   alias: String) extends Proj
+
+  private val AggProjRe =
+    """(?i)^\(\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(\*|\?\w+)\s*\)\s+AS\s+\?(\w+)\s*\)$""".r
+  private val GroupByRe = """(?i)\bGROUP\s+BY((?:\s+\?\w+)+)""".r
+  private val OrderByRe =
+    """(?i)\bORDER\s+BY((?:\s+(?:(?:ASC|DESC)\s*\(\s*\?\w+\s*\)|\?\w+))+)""".r
+  private val OrderKeyRe = """(?i)(ASC|DESC)\s*\(\s*\?(\w+)\s*\)|\?(\w+)""".r
+  private val LimitRe = """(?i)\bLIMIT\s+(\d+)""".r
+  private val VarRe = """\?(\w+)""".r
+
+  /** Parse the text between SELECT and WHERE: optional DISTINCT, then
+    * `*` (or nothing) for all-bindings, else `?var` and
+    * `(AGG(…) AS ?alias)` projections in output order.
+    */
+  private def parseProjections(head: String): (Boolean, Seq[Proj]) = {
+    var h = head.trim
+    val distinct = h.toUpperCase.startsWith("DISTINCT")
+    if (distinct) h = h.substring("DISTINCT".length).trim
+    if (h.isEmpty || h == "*") (distinct, Seq.empty)
+    else {
+      val tokRe = """\((?:[^()]|\([^()]*\))*\)|\S+""".r
+      val projs = tokRe.findAllIn(h).map {
+        case AggProjRe(func, arg, alias) =>
+          ProjAgg(func.toUpperCase, if (arg == "*") None else Some(arg.drop(1)), alias)
+        case t if VarRe.pattern.matcher(t).matches() => ProjVar(t.drop(1))
+        case t => throw new IllegalArgumentException(
+          s"unrecognized SELECT projection '$t'")
+      }.toSeq
+      (distinct, projs)
+    }
+  }
+
+  /** Compile the tail modifiers onto the solution bindings: aggregate /
+    * group, project, DISTINCT, ORDER BY, LIMIT — in SPARQL's evaluation
+    * order. Raises on unrecognized trailing text.
+    */
+  private def applyModifiers(bindings: DataFrame, distinct: Boolean,
+                             projs: Seq[Proj], tail: String): DataFrame = {
+    val groupVars = GroupByRe.findFirstMatchIn(tail)
+      .map(m => VarRe.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+      .getOrElse(Seq.empty)
+    val orderKeys = OrderByRe.findFirstMatchIn(tail)
+      .map(m => OrderKeyRe.findAllMatchIn(m.group(1)).map { k =>
+        if (k.group(3) != null) (k.group(3), false)
+        else (k.group(2), k.group(1).equalsIgnoreCase("DESC"))
+      }.toSeq)
+      .getOrElse(Seq.empty)
+    val limit = LimitRe.findFirstMatchIn(tail).map(_.group(1).toInt)
+    val leftover =
+      LimitRe.replaceAllIn(OrderByRe.replaceAllIn(
+        GroupByRe.replaceAllIn(tail, " "), " "), " ").trim
+    require(leftover.isEmpty, s"unrecognized text after WHERE block: '$leftover'")
+
+    val aggs = projs.collect { case a: ProjAgg => a }
+    val plainVars = projs.collect { case ProjVar(n) => n }
+    val projected =
+      if (aggs.nonEmpty || groupVars.nonEmpty) {
+        require(aggs.nonEmpty,
+          "GROUP BY requires at least one aggregate projection in SELECT")
+        val keys = if (groupVars.nonEmpty) groupVars else plainVars
+        val stray = plainVars.filterNot(keys.contains)
+        require(stray.isEmpty,
+          s"non-aggregated projection(s) ${stray.mkString(", ")} must appear in GROUP BY")
+        val aggCols = aggs.map { a =>
+          val c = a.func match {
+            case "COUNT" => a.arg.map(v => count(col(v))).getOrElse(count(lit(1)))
+            case "SUM" => sum(col(a.arg.getOrElse(
+              throw new IllegalArgumentException("SUM needs a ?variable"))).cast("double"))
+            case "AVG" => avg(col(a.arg.getOrElse(
+              throw new IllegalArgumentException("AVG needs a ?variable"))).cast("double"))
+            case "MIN" => min(col(a.arg.getOrElse(
+              throw new IllegalArgumentException("MIN needs a ?variable"))))
+            case "MAX" => max(col(a.arg.getOrElse(
+              throw new IllegalArgumentException("MAX needs a ?variable"))))
+          }
+          c.as(a.alias)
+        }
+        val agged =
+          if (keys.isEmpty) bindings.agg(aggCols.head, aggCols.tail: _*)
+          else bindings.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+        // output columns in the head's declared order
+        agged.select(projs.map {
+          case ProjVar(n) => col(n)
+          case a: ProjAgg => col(a.alias)
+        }: _*)
+      } else if (plainVars.nonEmpty) bindings.select(plainVars.map(col): _*)
+      else bindings
+    val dd = if (distinct) projected.distinct() else projected
+    val ordered =
+      if (orderKeys.isEmpty) dd
+      else dd.orderBy(orderKeys.map { case (v, desc) =>
+        if (desc) col(v).desc else col(v).asc
+      }: _*)
+    limit.map(ordered.limit).getOrElse(ordered)
+  }
+
+  /** Content of the first brace-balanced `{ … }` block in masked text,
+    * plus everything after it. Text before the `{` must be blank.
+    */
+  private def extractBraceBlock(s: String): (String, String) = {
+    val start = s.indexOf('{')
+    require(start >= 0, s"expected a '{' block in '${s.trim}'")
+    require(s.substring(0, start).trim.isEmpty,
+      s"unexpected text before '{': '${s.substring(0, start).trim}'")
+    var depth = 0
+    var i = start
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '{') depth += 1
+      else if (c == '}') {
+        depth -= 1
+        if (depth == 0) return (s.substring(start + 1, i), s.substring(i + 1))
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced braces in '${s.trim}'")
+  }
 
   /** Split on top-level `UNION` keywords — outside braces, quotes, and
     * `<…>` IRIs. The scanner runs over MASKED text (literals first, then
@@ -696,6 +944,17 @@ object GraphOps {
     quads.unionByName(
       pathPlus(quads, pred, maxIterations).select(
         col("src").as("subj"), lit(pred + "+").as("pred"),
+        col("dst").as("obj"), lit("").as("dt")))
+
+  /** [[withPathClosure]] for `p*`: virtual triples `(s, "<pred>*", o, "")`
+    * from [[pathStar]] (closure plus the identity pair over the
+    * predicate's domain∪range), so a pattern can say
+    * `TriplePattern(Var("x"), Const(pred + "*"), Var("anc"))`.
+    */
+  def withPathStarClosure(quads: DataFrame, pred: String, maxIterations: Int = 20): DataFrame =
+    quads.unionByName(
+      pathStar(quads, pred, maxIterations).select(
+        col("src").as("subj"), lit(pred + "*").as("pred"),
         col("dst").as("obj"), lit("").as("dt")))
 
   /** Triple count per predicate — the first profiling query over any

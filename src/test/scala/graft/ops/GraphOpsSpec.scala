@@ -480,6 +480,103 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(half.subsetOf(a), "lower rate selects a subset of the higher rate (same gate)")
   }
 
+  test("select: SELECT head — projection, DISTINCT, ORDER BY, LIMIT") {
+    val kg = quads(
+      ("c1", "p:in", "n2", ""), ("c2", "p:in", "n1", ""), ("c3", "p:in", "n1", ""),
+      ("c4", "p:in", "n3", ""))
+    val got = select(kg,
+      """SELECT DISTINCT ?n WHERE { ?c <p:in> ?n } ORDER BY DESC(?n) LIMIT 2""")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("n3", "n2"))
+    // projection narrows columns and keeps duplicates without DISTINCT
+    val proj = select(kg, """SELECT ?n WHERE { ?c <p:in> ?n } ORDER BY ?n""")
+    assert(proj.columns.toSeq == Seq("n"))
+    assert(proj.collect().map(_.getString(0)).toSeq == Seq("n1", "n1", "n2", "n3"))
+  }
+
+  test("select: aggregate projections with GROUP BY — the whole query through text") {
+    val kg = quads(
+      ("s1", "p:supp", "n1", ""), ("c1", "p:cust", "n1", ""), ("c2", "p:cust", "n2", ""),
+      ("n1", "p:rk", "1", XsdInteger), ("n2", "p:rk", "3", XsdInteger))
+    val got = select(kg,
+      """SELECT ?n (COUNT(*) AS ?members) (COUNT(?rk) AS ?ranked) WHERE {
+        |  { ?m <p:supp> ?n }
+        |  UNION
+        |  { ?m <p:cust> ?n . ?n <p:rk> ?rk . FILTER(?rk >= 2) }
+        |} GROUP BY ?n ORDER BY ?n""".stripMargin)
+    assert(got.columns.toSeq == Seq("n", "members", "ranked"))
+    val rows = got.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("n1", 1L, 0L), ("n2", 1L, 1L)))
+    // global aggregate: no GROUP BY, one row
+    val total = select(kg, """SELECT (COUNT(*) AS ?n) WHERE { ?m <p:cust> ?x }""")
+      .collect()
+    assert(total.length == 1 && total(0).getLong(0) == 2L)
+    // SUM casts the lexical form to double
+    val s = select(kg,
+      """SELECT (SUM(?rk) AS ?total) WHERE { ?n <p:rk> ?rk }""").collect()
+    assert(s(0).getDouble(0) == 4.0)
+  }
+
+  test("select: malformed heads and trailing garbage raise loudly") {
+    val kg = quads(("a", "p:x", "b", ""))
+    assertThrows[IllegalArgumentException](
+      select(kg, "SELECT ?s WHERE { ?s <p:x> ?o } FROB 3"))
+    assertThrows[IllegalArgumentException](
+      select(kg, "SELECT ?s ?bogus& WHERE { ?s <p:x> ?o }"))
+    assertThrows[IllegalArgumentException](
+      select(kg, "SELECT ?s ?o WHERE { ?s <p:x> ?o } GROUP BY ?s")) // no aggregate
+    assertThrows[IllegalArgumentException](
+      select(kg, "SELECT ?o (COUNT(*) AS ?n) WHERE { ?s <p:x> ?o } GROUP BY ?s")) // ?o not grouped
+  }
+
+  test("select: property-path '+'/'*' terse forms auto-bridge the closure") {
+    val kg = quads(
+      ("a", "p:broader", "b", ""), ("b", "p:broader", "c", ""),
+      ("b", "p:label", "mid", XsdString))
+    val plus = select(kg, "?d <p:broader>+ ?anc . ?d <p:label> ?lbl")
+      .select("d", "anc", "lbl").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(plus == Set(("b", "c", "mid")))
+    // zero-or-more includes the identity pairs
+    val star = select(kg,
+      """SELECT ?d (COUNT(*) AS ?n) WHERE { ?d <p:broader>* ?x } GROUP BY ?d ORDER BY ?d""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(star == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+  }
+
+  test("select: sequence path <a>/<b> chains through a dropped internal variable") {
+    val kg = quads(
+      ("c1", "p:in", "n1", ""), ("n1", "p:of", "r1", ""),
+      ("r1", "p:name", "ASIA", XsdString),
+      ("c9", "p:in", "n9", "")) // dangling — no p:of hop
+    val got = select(kg, "?c <p:in>/<p:of> ?r . ?r <p:name> ?nm")
+    assert(!got.columns.exists(_.startsWith("__seq")),
+      "internal hop variables must be dropped from the output")
+    val rows = got.select("c", "r", "nm").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set(("c1", "r1", "ASIA")))
+    // sequence segment with a closure suffix: <p:in>/<p:of>+ composes
+    val kg2 = quads(
+      ("c1", "p:in", "n1", ""), ("n1", "p:of", "m", ""), ("m", "p:of", "top", ""))
+    val comp = select(kg2, "?c <p:in>/<p:of>+ ?r")
+      .select("c", "r").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(comp == Set(("c1", "m"), ("c1", "top")))
+  }
+
+  test("constructQuery: CONSTRUCT { template } WHERE { body } end-to-end") {
+    val kg = quads(
+      ("c1", "p:in", "n1", ""), ("c2", "p:in", "n1", ""), ("n1", "p:of", "r1", ""))
+    val got = GraphOps.constructQuery(kg,
+      """CONSTRUCT { ?c <urn:locatedIn> ?r . ?r <urn:hasMember> ?c }
+        |WHERE { ?c <p:in> ?n . ?n <p:of> ?r }""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("c1", "urn:locatedIn", "r1"), ("c2", "urn:locatedIn", "r1"),
+      ("r1", "urn:hasMember", "c1"), ("r1", "urn:hasMember", "c2")))
+    assertThrows[IllegalArgumentException](
+      GraphOps.constructQuery(kg, "CONSTRUCT { ?a <p> ?b }")) // no WHERE
+  }
+
   // ----------------------------------------------------------- IVF ANN
 
   private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
