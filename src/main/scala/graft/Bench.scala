@@ -138,13 +138,26 @@ object Bench {
 
   /** Timed region: parquet scan → detect → expand→toRDF→c14n → dedup →
     * predicate-bucketed write. Returns (seconds, triples emitted).
+    *
+    * `corpusPath`: reuse an already-materialized corpus (the run loop
+    * materializes ONCE per session — re-synthesizing per retry run
+    * wasted minutes inside collapsed host windows). `predDict`: route
+    * the dedup+write through the dictionary-encoded exchange
+    * ([[Pipeline.dedupAndWritePartitionedDict]]) for the shuffle-byte
+    * A/B.
     */
   def pipelineThroughput(spark: SparkSession, sfDir: String, replication: Int,
                          outDir: String,
-                         preTimed: () => Unit = () => ()): (Double, Long) = {
+                         preTimed: () => Unit = () => (),
+                         corpusPath: Option[String] = None,
+                         predDict: Option[Map[String, Int]] = None): (Double, Long) = {
     import spark.implicits._
-    materializeCorpus(spark, sfDir, replication, s"$outDir/corpus")
-    val corpus = spark.read.parquet(s"$outDir/corpus").as[RepoFile]
+    val corpusDir = corpusPath.getOrElse {
+      val d = s"$outDir/corpus"
+      materializeCorpus(spark, sfDir, replication, d)
+      d
+    }
+    val corpus = spark.read.parquet(corpusDir).as[RepoFile]
 
     val counters = Pipeline.newCounters(spark)
     val ctxCache = spark.sparkContext.broadcast(Map.empty[String, String])
@@ -154,13 +167,37 @@ object Bench {
     val t0 = System.nanoTime()
     val docs = Pipeline.detectStage(corpus, counters)
     val pipe = Pipeline.transformStage(docs, ctxCache, counters)
-    Pipeline.dedupAndWritePartitioned(Pipeline.quads(pipe), s"$outDir/quads", buckets = 32)
+    predDict match {
+      case Some(d) =>
+        Pipeline.dedupAndWritePartitionedDict(Pipeline.quads(pipe), s"$outDir/quads",
+          buckets = 32, dict = d)
+      case None =>
+        Pipeline.dedupAndWritePartitioned(Pipeline.quads(pipe), s"$outDir/quads", buckets = 32)
+    }
     val secs = (System.nanoTime() - t0) / 1e9
     // numerator from the materialized table, not the accumulator: task
     // retries/speculation over-count accumulators in transformations (the
     // untimed count-back is footer metadata only — cheap)
     val written = spark.read.parquet(s"$outDir/quads").count()
     (secs, written)
+  }
+
+  /** Cumulative shuffle-WRITE bytes across all completed stages — the
+    * wire-cost counter for the dict-encoding A/B. Snapshot via
+    * [[shuffleBytesSnapshot]] (drains the async bus first).
+    */
+  private val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def installShuffleListener(spark: SparkSession): Unit =
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+
+  def shuffleBytesSnapshot(spark: SparkSession): Long = {
+    org.apache.spark.sql.GraftInternal.waitListenerBus(spark)
+    shuffleBytes.get()
   }
 
   /** Aggregate GB/s of `writers` concurrent sequential writers to the
@@ -290,6 +327,7 @@ object Bench {
     val spark = newSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
+    installShuffleListener(spark)
     // headline: pipeline throughput. Two warmup passes: the per-document
     // core is pure Scala and needs C2 compilation to reach steady state —
     // a single short pass under a fresh JVM leaves the timed region 2×
@@ -297,6 +335,10 @@ object Bench {
     val outDir = newWorkDir("graft-bench")
     pipelineThroughput(spark, sfDir, math.max(2, replication / 4), s"$outDir/warmup1")
     pipelineThroughput(spark, sfDir, math.max(4, replication / 2), s"$outDir/warmup2")
+    // the measured corpus is materialized ONCE (untimed) and reused by
+    // every run — the deployment shape (a stored corpus), and retry runs
+    // inside collapsed host windows stop paying a minutes-long rebuild
+    materializeCorpus(spark, sfDir, replication, s"$outDir/corpus")
     // best-of-3, each run health-gated IMMEDIATELY before its timed
     // region: the host's memory-write path oscillates between > 10 GB/s
     // and < 0.2 GB/s on a minutes timescale (shorter than one full
@@ -305,8 +347,13 @@ object Bench {
     var waitedSec = 0.0
     val gateProbes = scala.collection.mutable.ArrayBuffer[Double]()
     val postProbes = scala.collection.mutable.ArrayBuffer[Double]()
+    val runShuffleBytes = scala.collection.mutable.ArrayBuffer[Long]()
+    var extendedRetry = false
     val gate: () => Unit = () => {
-      val (w, g) = awaitHealthyHost(maxWaitSec = 120)
+      // inside the extended-retry phase the gate IS the lever: wait
+      // longer for a healthy window instead of burning a run in a
+      // collapsed one
+      val (w, g) = awaitHealthyHost(maxWaitSec = if (extendedRetry) 240 else 120)
       waitedSec += w; gateProbes += g; ()
     }
     // a run is CLEAN when the write path was open both immediately before
@@ -315,20 +362,31 @@ object Bench {
     // "Open" is the RELATIVE cleanFloor (≥ 1 GB/s AND ≥ 50% of the
     // session's best probe), so a partially-collapsed window can't earn
     // the flag on a host whose healthy band is 10× higher. Minimum 3
-    // runs; keep going (bounded at 8) until one clean run exists, so an
-    // hour of mostly-collapsed windows still yields one honest number
-    // instead of three poisoned ones.
+    // runs; keep going until one clean run exists — round 4's capture
+    // landed in a fully-collapsed window and exhausted its fixed cap of
+    // 8 with zero clean runs, so the cap is now a TIME budget
+    // (SPARK_GRAFT_BENCH_RETRY_SEC, default 1800 s beyond the first
+    // three runs; committed evidence shows clean windows recur within
+    // ~an hour) plus a generous run cap (SPARK_GRAFT_BENCH_MAX_RUNS).
+    val maxRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RUNS", "24").toInt
+    val retryBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_SEC", "1800").toInt
     val timedRuns = scala.collection.mutable.ArrayBuffer[(Double, Long)]()
     var runIdx = 0
     def cleanAt(i: Int): Boolean =
       gateProbes(i) >= cleanFloor && postProbes(i) >= cleanFloor
     def anyClean: Boolean = timedRuns.indices.exists(cleanAt)
-    while (runIdx < 8 && (runIdx < 3 || !anyClean)) {
+    val tLoop0 = System.nanoTime()
+    def loopElapsedSec: Double = (System.nanoTime() - tLoop0) / 1e9
+    while (runIdx < maxRuns &&
+           (runIdx < 3 || (!anyClean && loopElapsedSec < retryBudgetSec))) {
       runIdx += 1
+      extendedRetry = runIdx > 3
+      val sb0 = shuffleBytesSnapshot(spark)
       val r = pipelineThroughput(spark, sfDir, replication, s"$outDir/quads$runIdx",
-        preTimed = gate)
+        preTimed = gate, corpusPath = Some(s"$outDir/corpus"))
       val post = postProbe()
       timedRuns += r; postProbes += post
+      runShuffleBytes += shuffleBytesSnapshot(spark) - sb0
     }
     // clean flags are re-evaluated against the FINAL floor (the session's
     // best probe is now known), and the headline prefers the fastest run
@@ -347,6 +405,41 @@ object Bench {
       else timedRuns.indices.minBy(i => timedRuns(i)._1)
     val (pipeSecs, triples) = timedRuns(headlineIdx)
     val throughput = triples / math.max(pipeSecs, 1e-9)
+
+    // dictionary-encoding A/B (one additional gated run): the same
+    // pipeline with `pred` dictionary-encoded through the dedup+write
+    // exchange (Pipeline.dedupForWriteDict). The dictionary is the
+    // corpus's own predicate vocabulary, read (untimed) from the
+    // headline run's output — the "engine maintains a predicate
+    // dictionary" shape a 100 TB deployment uses. Reported either way:
+    // shuffle bytes + wall vs the headline run's.
+    val dictAb: Option[(String, Double)] =
+      if (sys.env.getOrElse("SPARK_GRAFT_DICT_AB", "1") != "1") None
+      else try {
+        val preds = spark.read.parquet(s"$outDir/quads${headlineIdx + 1}/quads")
+          .select("pred").distinct().collect().map(_.getString(0)).sorted
+        val dict = preds.zipWithIndex.toMap
+        var dictGate = 0.0
+        val sb0 = shuffleBytesSnapshot(spark)
+        val (dSecs, dTriples) = pipelineThroughput(spark, sfDir, replication,
+          s"$outDir/quadsdict",
+          preTimed = () => {
+            val (w, g) = awaitHealthyHost(maxWaitSec = 120)
+            waitedSec += w; dictGate = g; ()
+          },
+          corpusPath = Some(s"$outDir/corpus"), predDict = Some(dict))
+        val dPost = postProbe()
+        val dBytes = shuffleBytesSnapshot(spark) - sb0
+        val dClean = dictGate >= floorUsed && dPost >= floorUsed
+        val ratio = dBytes.toDouble / math.max(runShuffleBytes(headlineIdx), 1L)
+        Some((f"""{"dict_size":${dict.size},"sec":$dSecs%.2f,"triples":$dTriples,"tps":${dTriples / math.max(dSecs, 1e-9)}%.0f,"gate_gbps":$dictGate%.2f,"post_gbps":$dPost%.2f,"clean":$dClean,"shuffle_mb":${dBytes / 1048576.0}%.1f,"baseline_shuffle_mb":${runShuffleBytes(headlineIdx) / 1048576.0}%.1f,"baseline_sec":$pipeSecs%.2f,"baseline_clean":${cleanFlags(headlineIdx)}}""",
+          ratio))
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] dict A/B failed: ${e.getMessage}")
+        None
+      }
+    val dictJson = dictAb.map(_._1).getOrElse("null")
+    val dictRatio = dictAb.map(r => f"${r._2}%.3f").getOrElse("null")
 
     // per-query wall times, best-of-k INTERLEAVED (full pass 1..k over all
     // queries, min per query): this host shows sporadic multi-second stalls
@@ -384,7 +477,7 @@ object Bench {
     // calibrate AFTER the timed regions (the probes themselves saturate
     // the memory path for ~3 s) — they describe the same session's host
     val host = hostCalibration()
-    val gateJson = f"""{"waited_sec":$waitedSec%.1f,"clean_floor_gbps":$floorUsed%.2f,"gate_gbps":${gateProbes.map(g => f"$g%.2f").mkString("[", ",", "]")},"post_gbps":${postProbes.map(g => f"$g%.2f").mkString("[", ",", "]")},"clean_run":$cleanRun,"clean_runs":${cleanFlags.mkString("[", ",", "]")},"headline_run":${headlineIdx + 1},"pipeline_runs":${timedRuns.map(r => f"${r._1}%.2f").mkString("[", ",", "]")}}"""
+    val gateJson = f"""{"waited_sec":$waitedSec%.1f,"clean_floor_gbps":$floorUsed%.2f,"gate_gbps":${gateProbes.map(g => f"$g%.2f").mkString("[", ",", "]")},"post_gbps":${postProbes.map(g => f"$g%.2f").mkString("[", ",", "]")},"clean_run":$cleanRun,"clean_runs":${cleanFlags.mkString("[", ",", "]")},"headline_run":${headlineIdx + 1},"pipeline_runs":${timedRuns.map(r => f"${r._1}%.2f").mkString("[", ",", "]")},"shuffle_mb":${runShuffleBytes.map(b => f"${b / 1048576.0}%.1f").mkString("[", ",", "]")}}"""
     // two artifacts, one contract each:
     //  - stdout gets ONE compact JSON line (headline + per-query best
     //    times, NO query_runs/probe arrays) — the driver's fixed-size
@@ -393,7 +486,7 @@ object Bench {
     //  - bench_out.json gets the FULL record (all runs, all probes) for
     //    human/judge audit.
     def compactWith(queriesJson: String) =
-      s"""{"metric":"pipeline_triples_per_sec","value":${f"$throughput%.1f"},"unit":"triples/sec","total_sec":${f"$total%.2f"},"pipeline_triples":$triples,"pipeline_sec":${f"$pipeSecs%.2f"},"clean_run":$cleanRun,"failed":$failed,"queries":$queriesJson,"sf":"$sfDir","cpus":"$cpus","replication":$replication}"""
+      s"""{"metric":"pipeline_triples_per_sec","value":${f"$throughput%.1f"},"unit":"triples/sec","total_sec":${f"$total%.2f"},"pipeline_triples":$triples,"pipeline_sec":${f"$pipeSecs%.2f"},"clean_run":$cleanRun,"dict_shuffle_ratio":$dictRatio,"failed":$failed,"queries":$queriesJson,"sf":"$sfDir","cpus":"$cpus","replication":$replication}"""
     // the driver's tail capture is 2000 chars: if the per-query map ever
     // outgrows the budget (more gated queries in later rounds), drop it
     // from the STDOUT line rather than losing the headline — the full map
@@ -403,7 +496,7 @@ object Bench {
       if (full.length <= 1900) full
       else compactWith(s"""{"omitted_count":${names.size}}""")
     }
-    val full = s"""{"metric":"pipeline_triples_per_sec","value":${f"$throughput%.1f"},"unit":"triples/sec","total_sec":${f"$total%.2f"},"pipeline_triples":$triples,"pipeline_sec":${f"$pipeSecs%.2f"},"failed":$failed,"queries":$qs,"query_runs":$qsAll,"query_reps":$queryReps,"host":$host,"health_gate":$gateJson,"sf":"$sfDir","cpus":"$cpus","replication":$replication,"workdir":"${Bench.workRoot}"}"""
+    val full = s"""{"metric":"pipeline_triples_per_sec","value":${f"$throughput%.1f"},"unit":"triples/sec","total_sec":${f"$total%.2f"},"pipeline_triples":$triples,"pipeline_sec":${f"$pipeSecs%.2f"},"failed":$failed,"queries":$qs,"query_runs":$qsAll,"query_reps":$queryReps,"host":$host,"health_gate":$gateJson,"pred_dict_ab":$dictJson,"sf":"$sfDir","cpus":"$cpus","replication":$replication,"workdir":"${Bench.workRoot}"}"""
     // memory-backed work dirs are not free: clean up so repeated runs
     // don't exhaust /dev/shm
     try {

@@ -215,6 +215,13 @@ object DedupOps {
     * consider alternating large-star/small-star (halves round count on
     * high-diameter graphs); the join/agg shape is unchanged.
     */
+  /** Diagnostic only: rounds the LAST [[connectedComponents]] /
+    * [[connectedComponentsStar]] call in this JVM took to converge. Read
+    * by the benchmark harness (graft.CcCompare) to report measured
+    * round counts next to wall times; not part of any data contract.
+    */
+  @volatile var lastCcRounds: Int = -1
+
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIterations: Int = 20): DataFrame = {
     // materialize the edge list ONCE: `edges` is typically an expensive
@@ -246,6 +253,7 @@ object DedupOps {
       prevSum = s
       i += 1
     }
+    lastCcRounds = i
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIterations rounds " +
@@ -318,6 +326,7 @@ object DedupOps {
       e = ss
       i += 1
     }
+    lastCcRounds = i
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponentsStar did not converge in $maxIterations rounds — raise maxIterations")

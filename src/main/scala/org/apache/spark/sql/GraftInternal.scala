@@ -27,4 +27,12 @@ object GraftInternal {
     spark.internalCreateDataFrame(
       classic.queryExecution.toRdd.mapPartitions(f), classic.schema)
   }
+
+  /** Drain the async listener bus (accessor is `private[spark]`):
+    * metric listeners (e.g. per-run shuffle-byte accounting in
+    * graft.Bench) must see every completed stage before a snapshot is
+    * read — without the drain a snapshot races in-flight events.
+    */
+  def waitListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }
