@@ -634,6 +634,49 @@ object SparkEntry {
         |  ?c <urn:dm:customer#ref-c_nationkey>/<urn:dm:nation#ref-n_regionkey> ?r
         |} GROUP BY ?r ORDER BY ?r""".stripMargin)
 
+  /** Inverse path `^<p>` through the grammar: nations to their customers
+    * by traversing the reference edge BACKWARD — `?n ^<ref> ?c` ≡
+    * `?c <ref> ?n`.
+    */
+  def kgPathInverse(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """SELECT ?n (COUNT(*) AS ?n_customers) WHERE {
+        |  ?n ^<urn:dm:customer#ref-c_nationkey> ?c
+        |} GROUP BY ?n ORDER BY ?n""".stripMargin)
+
+  /** Predicate alternation `<a>|<b>` through the grammar: suppliers ∪
+    * customers per nation via ONE pattern whose predicate is a pushable
+    * IN filter — same solution set as the two-branch `kg_bgp_union`.
+    */
+  def kgPathAlt(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """SELECT ?n (COUNT(*) AS ?n_members) WHERE {
+        |  ?m <urn:dm:supplier#ref-s_nationkey>|<urn:dm:customer#ref-c_nationkey> ?n
+        |} GROUP BY ?n ORDER BY ?n""".stripMargin)
+
+  /** Zero-or-one path `<p>?` through the grammar: each node of the
+    * parent tree reaches itself plus (at most) its parent — the lazy,
+    * non-iterative member of the path family.
+    */
+  def kgPathOpt(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(docParentQuads(spark, dir),
+      """SELECT ?doc (COUNT(*) AS ?n_within_one) WHERE {
+        |  ?doc <urn:p:parent>? ?x
+        |} GROUP BY ?doc ORDER BY ?doc""".stripMargin)
+
+  /** Variable-to-variable FILTER comparison: nation pairs where one's
+    * region key is strictly below the other's — `FILTER(?ra < ?rb)`
+    * compares two bound variables numerically. Also exercises the
+    * global-aggregate head (COUNT with no GROUP BY).
+    */
+  def kgFilterVarVar(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """SELECT (COUNT(*) AS ?n_pairs) WHERE {
+        |  ?a <urn:dm:nation#n_regionkey> ?ra .
+        |  ?b <urn:dm:nation#n_regionkey> ?rb .
+        |  FILTER(?ra < ?rb)
+        |}""".stripMargin)
+
   /** The round-4 `<`-operator lexer defect, now oracle-gated: FILTER
     * with `<` / `<=` inside UNION branches — the bare `<` must lex as a
     * comparison operator, not an IRI opener that swallows the UNION.
@@ -714,6 +757,10 @@ object SparkEntry {
     "kg_path_plus" -> (kgPathPlus(_, _)),
     "kg_path_star" -> (kgPathStar(_, _)),
     "kg_path_seq" -> (kgPathSeq(_, _)),
+    "kg_path_inverse" -> (kgPathInverse(_, _)),
+    "kg_path_alt" -> (kgPathAlt(_, _)),
+    "kg_path_opt" -> (kgPathOpt(_, _)),
+    "kg_filter_varvar" -> (kgFilterVarVar(_, _)),
     "kg_select" -> (kgSelect(_, _)),
     "kg_select_agg" -> (kgSelectAgg(_, _)),
     "kg_select_modifiers" -> (kgSelectModifiers(_, _)),
@@ -1029,6 +1076,31 @@ object SparkEntry {
       """SELECT 'urn:dm:region/'||n_regionkey AS r, count(*) AS n_customers
         |FROM customer JOIN nation ON n_nationkey = c_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // inverse path: ?n ^<ref> ?c ≡ ?c <ref> ?n
+    "kg_path_inverse" ->
+      """SELECT 'urn:dm:nation/'||c_nationkey AS n, count(*) AS n_customers
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    // predicate alternation <a>|<b> — one pattern, IN-filtered
+    "kg_path_alt" ->
+      """SELECT n, count(*) AS n_members FROM (
+        |  SELECT 'urn:dm:nation/'||s_nationkey AS n FROM supplier
+        |  UNION ALL SELECT 'urn:dm:nation/'||c_nationkey FROM customer)
+        |GROUP BY n ORDER BY n""".stripMargin,
+    // zero-or-one path over the parent tree: identity over domain∪range
+    // plus the single hop
+    "kg_path_opt" ->
+      """WITH e AS (
+        |  SELECT doc_id AS src, doc_id // 2 AS dst FROM documents WHERE doc_id > 0),
+        |nodes AS (SELECT DISTINCT n FROM (
+        |  SELECT src AS n FROM e UNION ALL SELECT dst FROM e)),
+        |p AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT src, dst FROM e UNION ALL SELECT n, n FROM nodes))
+        |SELECT 'urn:doc:'||src AS doc, count(*) AS n_within_one
+        |FROM p GROUP BY src ORDER BY doc""".stripMargin,
+    // var-var FILTER: numeric comparison of two bound variables
+    "kg_filter_varvar" ->
+      """SELECT count(*) AS n_pairs FROM nation a, nation b
+        |WHERE a.n_regionkey < b.n_regionkey""".stripMargin,
     // FILTER '<'/'<=' inside UNION branches (the round-4 lexer trap):
     // suppliers in regions < 2 plus customers in regions <= 1
     "kg_union_filter_lt" ->

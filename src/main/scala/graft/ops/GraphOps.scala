@@ -40,6 +40,10 @@ object GraphOps {
   sealed trait Term
   final case class Var(name: String) extends Term
   final case class Const(value: String) extends Term
+  /** Predicate alternation `<a>|<b>`: matches any of the constants —
+    * compiles to a pushable IN filter, no union of branches needed.
+    */
+  final case class ConstIn(values: Seq[String]) extends Term
 
   final case class TriplePattern(s: Term, p: Term, o: Term)
 
@@ -155,8 +159,10 @@ object GraphOps {
   private def compilePatterns(quads: DataFrame,
                               patterns: Seq[Seq[(String, Term)]]): DataFrame = {
     def one(terms: Seq[(String, Term)]): DataFrame = {
-      val constFilter = terms.collect { case (c, Const(v)) => col(c) === lit(v) }
-        .reduceOption(_ && _).getOrElse(lit(true))
+      val constFilter = terms.collect {
+        case (c, Const(v)) => col(c) === lit(v)
+        case (c, ConstIn(vs)) => col(c).isin(vs: _*)
+      }.reduceOption(_ && _).getOrElse(lit(true))
       val vars = terms.collect { case (c, Var(n)) => (c, n) }
       val eqFilter = vars.groupBy(_._2).values.collect {
         case group if group.size > 1 =>
@@ -215,32 +221,55 @@ object GraphOps {
 
   /** Expand one parsed (subject, predicate-token, object) into pattern(s):
     * a sequence token `<a>/<b>+/<c>` becomes a chain through fresh
-    * internal variables; anything else is a single pattern. The split
-    * fires only on `/` BETWEEN IRI tokens (after `>`/`>+`/`>*`, before
-    * `<`) — a `/` inside an IRI like `<urn:dm:nation/1>` never splits.
+    * internal variables; a `^`-prefixed segment (inverse path) swaps that
+    * hop's subject and object; an alternation segment `<a>|<b>` compiles
+    * to a [[ConstIn]] predicate (pushable IN filter). The sequence split
+    * fires only on `/` BETWEEN IRI tokens (after `>`/`>+`/`>*`/`>?`,
+    * before `<` or `^<`) — a `/` inside an IRI like `<urn:dm:nation/1>`
+    * never splits.
     */
   private def expandPredicate(s: Term, predToken: String, o: Term): Seq[TriplePattern] = {
-    val segs = predToken.split("(?<=>[+*]?)/(?=<)").toSeq
-    if (segs.length == 1) Seq(TriplePattern(s, parsePathTerm(predToken), o))
+    val segs = predToken.split("(?<=>[+*?]?)/(?=\\^?<)").toSeq
+    def hop(sub: Term, seg: String, obj: Term): TriplePattern =
+      if (seg.startsWith("^")) TriplePattern(obj, parsePathSegment(seg.drop(1)), sub)
+      else TriplePattern(sub, parsePathSegment(seg), obj)
+    if (segs.length == 1) Seq(hop(s, predToken, o))
     else {
       val hops = segs.indices.map(i =>
         if (i == segs.length - 1) o
         else Var(SeqVarPrefix + seqCounter.getAndIncrement()))
       segs.zipWithIndex.map { case (seg, i) =>
-        TriplePattern(if (i == 0) s else hops(i - 1), parsePathTerm(seg), hops(i))
+        hop(if (i == 0) s else hops(i - 1), seg, hops(i))
       }
     }
   }
 
-  /** [[parseTerm]] plus the path forms `<iri>+` / `<iri>*`, which compile
-    * to the virtual closure predicate `iri+` / `iri*` (the naming contract
-    * of [[withPathClosure]]/[[withPathStarClosure]]).
+  /** One path segment (after any `^` strip): `<iri>` / `?var` / quoted
+    * literal, the closure forms `<iri>+` / `<iri>*` / `<iri>?` (virtual
+    * closure predicates — the naming contract of [[withPathClosure]] /
+    * [[withPathStarClosure]] / [[withPathOptClosure]]), or an
+    * alternation `<a>|<b>` of PLAIN IRIs (closure suffixes inside an
+    * alternation are rejected, not guessed).
     */
-  private def parsePathTerm(t: String): Term =
-    if (t.length > 3 && t.startsWith("<") &&
-        (t.endsWith(">+") || t.endsWith(">*")))
+  private def parsePathSegment(t: String): Term = {
+    // the lookbehind admits closure suffixes so '<a>+|<b>' SPLITS and the
+    // '<a>+' alternative is then loudly rejected below (without the wider
+    // lookbehind the whole token silently parsed as one bizarre IRI)
+    val alts = t.split("(?<=>[+*?]?)\\|(?=\\^?<)").toSeq
+    if (alts.length > 1) {
+      val values = alts.map { a =>
+        parseTerm(a) match {
+          case Const(v) => v
+          case _ => throw new IllegalArgumentException(
+            s"alternation segments must be plain IRIs, got '$a' in '$t'")
+        }
+      }
+      ConstIn(values)
+    } else if (t.length > 3 && t.startsWith("<") &&
+        (t.endsWith(">+") || t.endsWith(">*") || t.endsWith(">?")))
       Const(t.substring(1, t.length - 2) + t.last)
     else parseTerm(t)
+  }
 
   /** One term: `?var`, `<iri>`, or a double-quoted literal. */
   def parseTerm(t: String): Term =
@@ -251,30 +280,43 @@ object GraphOps {
       Const(t.drop(1).dropRight(1))
     else throw new IllegalArgumentException(s"unrecognized term '$t'")
 
+  /** A parsed FILTER constraint — one `Column` predicate over the
+    * solution bindings.
+    */
+  sealed trait Constraint { def column: Column }
+
+  private def cmp(op: String, l: Column, r: Column): Column = op match {
+    case "=" => l === r
+    case "!=" => l =!= r
+    case "<" => l < r
+    case "<=" => l <= r
+    case ">" => l > r
+    case ">=" => l >= r
+    case other => throw new IllegalArgumentException(s"unsupported FILTER op '$other'")
+  }
+
   /** A parsed `FILTER(?var op operand)` constraint: `op` is one of
     * `= != < <= > >=`; the operand is numeric (`Left` — both sides
     * compare as doubles, so literal "42" matches 42.0) or a quoted
     * string (`Right` — lexical comparison).
     */
-  final case class VarFilter(variable: String, op: String, operand: Either[Double, String]) {
-    def column: Column = {
-      val (l, r) = operand match {
-        case Left(num) => (col(variable).cast("double"), lit(num))
-        case Right(s) => (col(variable), lit(s))
-      }
-      op match {
-        case "=" => l === r
-        case "!=" => l =!= r
-        case "<" => l < r
-        case "<=" => l <= r
-        case ">" => l > r
-        case ">=" => l >= r
-        case other => throw new IllegalArgumentException(s"unsupported FILTER op '$other'")
-      }
+  final case class VarFilter(variable: String, op: String,
+                             operand: Either[Double, String]) extends Constraint {
+    def column: Column = operand match {
+      case Left(num) => cmp(op, col(variable).cast("double"), lit(num))
+      case Right(s) => cmp(op, col(variable), lit(s))
     }
   }
 
-  final case class ParsedQuery(patterns: Seq[TriplePattern], filters: Seq[VarFilter])
+  /** `FILTER(?a op ?b)` — two bound variables compared NUMERICALLY
+    * (lexical forms cast to double; a non-numeric value yields null and
+    * the solution drops, SPARQL's error-eliminates-row behavior).
+    */
+  final case class VarCompare(a: String, op: String, b: String) extends Constraint {
+    def column: Column = cmp(op, col(a).cast("double"), col(b).cast("double"))
+  }
+
+  final case class ParsedQuery(patterns: Seq[TriplePattern], filters: Seq[Constraint])
 
   private val FilterRe =
     """(?i)FILTER\s*\(\s*\?(\w+)\s*(=|!=|<=|>=|<|>)\s*("[^"]*"|[^\s()]+)\s*\)""".r
@@ -285,13 +327,15 @@ object GraphOps {
     * the clauses blanked).
     */
   private def extractFilters(s: String,
-                             um: String => String = identity): (Seq[VarFilter], String) = {
-    val filters = FilterRe.findAllMatchIn(s).map { m =>
+                             um: String => String = identity): (Seq[Constraint], String) = {
+    val filters: Seq[Constraint] = FilterRe.findAllMatchIn(s).map { m =>
       val raw = um(m.group(3))
-      val operand =
-        if (raw.startsWith("\"") && raw.endsWith("\"")) Right(raw.drop(1).dropRight(1))
-        else Left(raw.toDouble) // malformed operand → NumberFormatException, loudly
-      VarFilter(m.group(1), m.group(2), operand)
+      if (raw.startsWith("?") && raw.length > 1)
+        VarCompare(m.group(1), m.group(2), raw.drop(1))
+      else if (raw.startsWith("\"") && raw.endsWith("\""))
+        VarFilter(m.group(1), m.group(2), Right(raw.drop(1).dropRight(1)))
+      else // malformed operand → NumberFormatException, loudly
+        VarFilter(m.group(1), m.group(2), Left(raw.toDouble))
     }.toSeq
     (filters, FilterRe.replaceAllIn(s, " "))
   }
@@ -316,14 +360,14 @@ object GraphOps {
     * see the whole solution row) without giving up pushdown.
     */
   def bgpFiltered(quads: DataFrame, patterns: Seq[TriplePattern],
-                  filters: Seq[VarFilter]): DataFrame =
+                  filters: Seq[Constraint]): DataFrame =
     applyFilters(bgp(quads, patterns), filters)
 
   /** Apply FILTER constraints to ANY solution-bindings frame — composes
     * with [[bgpQuads]]/[[bgpOptional]]/[[bgpUnion]] output just as with
     * [[bgp]]'s.
     */
-  def applyFilters(bindings: DataFrame, filters: Seq[VarFilter]): DataFrame =
+  def applyFilters(bindings: DataFrame, filters: Seq[Constraint]): DataFrame =
     filters.foldLeft(bindings)((acc, f) => acc.filter(f.column))
 
   /** Run a parsed query (patterns + filters) — the one-call form of
@@ -467,11 +511,14 @@ object GraphOps {
     */
   private def bridgePaths(quads: DataFrame, body: String): DataFrame = {
     val (masked, _) = maskLiterals(body)
-    val found = "<([^<>\\s]*)>([+*])".r.findAllMatchIn(masked)
+    // suffix must END the token (lookahead: whitespace / sequence '/' /
+    // alternation '|' / end) — '<p>?x' is a malformed term, not a path
+    val found = "<([^<>\\s]*)>([+*?])(?=[\\s/|]|$)".r.findAllMatchIn(masked)
       .map(m => (m.group(1), m.group(2))).toSeq.distinct
     found.foldLeft(quads) {
       case (q, (p, "+")) => withPathClosure(q, p)
-      case (q, (p, _)) => withPathStarClosure(q, p)
+      case (q, (p, "*")) => withPathStarClosure(q, p)
+      case (q, (p, _)) => withPathOptClosure(q, p)
     }
   }
 
@@ -956,6 +1003,24 @@ object GraphOps {
       pathStar(quads, pred, maxIterations).select(
         col("src").as("subj"), lit(pred + "*").as("pred"),
         col("dst").as("obj"), lit("").as("dt")))
+
+  /** Zero-or-one path `p?`: virtual triples `(s, "<pred>?", o, "")` =
+    * the predicate's edges plus the identity pair over its domain∪range.
+    * Unlike `+`/`*` this needs NO closure iteration — the plan stays
+    * lazy (one union + distinct), so `p?` is safe on any predicate, not
+    * just hierarchy-shaped ones.
+    */
+  def withPathOptClosure(quads: DataFrame, pred: String): DataFrame = {
+    val edges = quads.filter(col("pred") === lit(pred) && col("dt") === "")
+      .select(col("subj").as("src"), col("obj").as("dst"))
+    val nodes = edges.select(col("src").as("n"))
+      .union(edges.select(col("dst").as("n"))).distinct()
+    quads.unionByName(
+      edges.unionByName(nodes.select(col("n").as("src"), col("n").as("dst")))
+        .distinct()
+        .select(col("src").as("subj"), lit(pred + "?").as("pred"),
+          col("dst").as("obj"), lit("").as("dt")))
+  }
 
   /** Triple count per predicate — the first profiling query over any
     * freshly constructed KG. One hash aggregation with map-side partials.

@@ -563,6 +563,49 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(comp == Set(("c1", "m"), ("c1", "top")))
   }
 
+  test("select: inverse path ^<p> swaps the hop; composes inside sequences") {
+    val kg = quads(
+      ("c1", "p:in", "n1", ""), ("c2", "p:in", "n1", ""), ("n1", "p:of", "r1", ""))
+    val inv = select(kg, "?n ^<p:in> ?c")
+      .select("n", "c").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(inv == Set(("n1", "c1"), ("n1", "c2")))
+    // region back to its customers: forward p:of inverted, then inverse p:in
+    val seq = select(kg, "?r ^<p:of>/^<p:in> ?c")
+      .select("r", "c").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(seq == Set(("r1", "c1"), ("r1", "c2")))
+  }
+
+  test("select: alternation <a>|<b> is one IN-filtered pattern; closure inside alternation rejected") {
+    val kg = quads(
+      ("s1", "p:supp", "n1", ""), ("c1", "p:cust", "n1", ""), ("c2", "p:cust", "n2", ""),
+      ("x1", "p:other", "n1", ""))
+    val got = select(kg, "?m <p:supp>|<p:cust> ?n")
+      .select("m", "n").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("s1", "n1"), ("c1", "n1"), ("c2", "n2")))
+    assertThrows[IllegalArgumentException](select(kg, "?m <p:supp>+|<p:cust> ?n"))
+  }
+
+  test("select: zero-or-one path <p>? is identity plus single hop, lazily planned") {
+    val kg = quads(
+      ("a", "p:next", "b", ""), ("b", "p:next", "c", ""))
+    val got = select(kg, "?x <p:next>? ?y")
+      .select("x", "y").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("a", "a"), ("b", "b"), ("c", "c"), // identity over domain∪range
+      ("a", "b"), ("b", "c")))            // the single hops
+  }
+
+  test("parseQuery/select: FILTER(?a < ?b) compares two bound variables numerically") {
+    val q = GraphOps.parseQuery("?n <p:a> ?x . ?n <p:b> ?y . FILTER(?x < ?y)")
+    assert(q.filters == Seq(VarCompare("x", "<", "y")))
+    val kg = quads(
+      ("n1", "p:a", "2", XsdInteger), ("n1", "p:b", "10", XsdInteger),
+      ("n2", "p:a", "5", XsdInteger), ("n2", "p:b", "3", XsdInteger))
+    val got = select(kg, "?n <p:a> ?x . ?n <p:b> ?y . FILTER(?x < ?y)")
+      .select("n").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("n1"), "numeric compare: 2 < 10 holds, 5 < 3 fails ('10' lexical would fail)")
+  }
+
   test("constructQuery: CONSTRUCT { template } WHERE { body } end-to-end") {
     val kg = quads(
       ("c1", "p:in", "n1", ""), ("c2", "p:in", "n1", ""), ("n1", "p:of", "r1", ""))
