@@ -413,17 +413,49 @@ object SparkEntry {
         |        ?region <urn:dm:region#r_name> "ASIA" }""".stripMargin)
       .orderBy("subj")
 
-  /** ASK: is any customer in nation 1? One boolean row. */
-  def kgAsk(spark: SparkSession, dir: String): DataFrame = {
-    import GraphOps._
-    ask(kgTriples(spark, dir), parsePatterns(
-      "?c <urn:dm:customer#ref-c_nationkey> <urn:dm:nation/1>"))
-  }
+  /** ASK through the text grammar: is any customer in nation 1? */
+  def kgAsk(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.askQuery(kgTriples(spark, dir),
+      "ASK { ?c <urn:dm:customer#ref-c_nationkey> <urn:dm:nation/1> }")
 
-  /** DESCRIBE nation 1: its own triples plus every edge pointing at it. */
+  /** ASK with a composed body (join + FILTER) through the grammar:
+    * does any customer sit in a region-keyed-≥2 nation?
+    */
+  def kgAskFiltered(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.askQuery(kgTriples(spark, dir),
+      """ASK { ?c <urn:dm:customer#ref-c_nationkey> ?n .
+        |      ?n <urn:dm:nation#n_regionkey> ?rk . FILTER(?rk >= 2) }""".stripMargin)
+
+  /** DESCRIBE through the text grammar: nation 1's triples plus every
+    * edge pointing at it.
+    */
   def kgDescribe(spark: SparkSession, dir: String): DataFrame =
-    GraphOps.describe(kgTriples(spark, dir), "urn:dm:nation/1")
+    GraphOps.describeQuery(kgTriples(spark, dir), "DESCRIBE <urn:dm:nation/1>")
       .orderBy("subj", "pred", "obj")
+
+  /** HAVING through the grammar: nations with ≥ 5 customers. */
+  def kgHaving(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """SELECT ?n (COUNT(*) AS ?n_customers) WHERE {
+        |  ?c <urn:dm:customer#ref-c_nationkey> ?n
+        |} GROUP BY ?n HAVING(?n_customers >= 5) ORDER BY ?n""".stripMargin)
+
+  /** COUNT(DISTINCT ?v) + OFFSET through the grammar: distinct nations
+    * customers reference, and a LIMIT/OFFSET page of them — two gated
+    * facts in one frame via a cross join of single-row/row-sliced parts
+    * would be contrived, so this query gates COUNT DISTINCT alone.
+    */
+  def kgCountDistinct(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """SELECT (COUNT(DISTINCT ?n) AS ?n_nations) WHERE {
+        |  ?c <urn:dm:customer#ref-c_nationkey> ?n
+        |}""".stripMargin)
+
+  /** LIMIT + OFFSET paging through the grammar. */
+  def kgSelectPage(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """SELECT DISTINCT ?n WHERE { ?m <urn:dm:customer#ref-c_nationkey> ?n }
+        |ORDER BY ?n LIMIT 5 OFFSET 10""".stripMargin)
 
   /** Incremental ingest: the prior run's manifest covers all docs except
     * doc_id % 10 == 3; only the 10% delta flows through the pipeline.
@@ -769,7 +801,11 @@ object SparkEntry {
     "kg_values" -> (kgValues(_, _)),
     "kg_construct" -> (kgConstruct(_, _)),
     "kg_ask" -> (kgAsk(_, _)),
+    "kg_ask_filtered" -> (kgAskFiltered(_, _)),
     "kg_describe" -> (kgDescribe(_, _)),
+    "kg_having" -> (kgHaving(_, _)),
+    "kg_count_distinct" -> (kgCountDistinct(_, _)),
+    "kg_select_page" -> (kgSelectPage(_, _)),
     "kg_reachability" -> (kgReachability(_, _)),
     "jsonld_incremental" -> (jsonldIncremental(_, _)),
     "jsonld_graph_stats" -> (jsonldGraphStats(_, _)),
@@ -1000,6 +1036,18 @@ object SparkEntry {
         |WHERE r_name = 'ASIA' ORDER BY subj""".stripMargin,
     "kg_ask" ->
       "SELECT EXISTS(SELECT 1 FROM customer WHERE c_nationkey = 1) AS matched",
+    "kg_ask_filtered" ->
+      """SELECT EXISTS(SELECT 1 FROM customer
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  WHERE n_regionkey >= 2) AS matched""".stripMargin,
+    "kg_having" ->
+      """SELECT 'urn:dm:nation/'||c_nationkey AS n, count(*) AS n_customers
+        |FROM customer GROUP BY 1 HAVING count(*) >= 5 ORDER BY 1""".stripMargin,
+    "kg_count_distinct" ->
+      "SELECT count(DISTINCT c_nationkey) AS n_nations FROM customer",
+    "kg_select_page" ->
+      """SELECT DISTINCT 'urn:dm:nation/'||c_nationkey AS n FROM customer
+        |ORDER BY n LIMIT 5 OFFSET 10""".stripMargin,
     "kg_describe" ->
       s"""WITH $kgQuadsCte
          |SELECT subj, pred, obj, dt FROM kg

@@ -442,14 +442,18 @@ object GraphOps {
     * Solution modifiers (the `SELECT … WHERE { … }` form; a bare
     * pattern block without the head returns all bindings as before):
     * projection by variable, `DISTINCT`, aggregate projections
-    * `(COUNT(*)|COUNT(?v)|SUM(?v)|MIN(?v)|MAX(?v)|AVG(?v) AS ?alias)`
-    * with `GROUP BY ?v …` (SUM/AVG cast the lexical form to double;
-    * MIN/MAX compare lexically; COUNT(?v) counts bound solutions),
-    * `ORDER BY [ASC|DESC](?v) …`, `LIMIT n`. Unparseable trailing text
-    * raises — never silently ignored. (One deliberate limitation: a
-    * variable literally named `?where` is not usable in the headed
+    * `(COUNT(*)|COUNT(?v)|COUNT(DISTINCT ?v)|SUM(?v)|MIN(?v)|MAX(?v)|
+    * AVG(?v) AS ?alias)` with `GROUP BY ?v …` (SUM/AVG cast the lexical
+    * form to double; MIN/MAX compare lexically; COUNT(?v) counts bound
+    * solutions), `HAVING(?alias op const)`,
+    * `ORDER BY [ASC|DESC](?v) …`, `LIMIT n`, `OFFSET n` (OFFSET skips
+    * before LIMIT caps, SPARQL's slice order). Unparseable trailing
+    * text raises — never silently ignored. (One deliberate limitation:
+    * a variable literally named `?where` is not usable in the headed
     * form.) UNION/brace splitting is quote- and IRI-aware (a literal
     * containing `UNION` or `{`, or an IRI containing `union`, is safe).
+    * The sibling query forms: [[constructQuery]], [[askQuery]],
+    * [[describeQuery]], or the keyword-dispatching [[query]].
     */
   def select(quads: DataFrame, text: String): DataFrame = {
     val (masked, lits) = maskLiterals(text)
@@ -488,9 +492,52 @@ object GraphOps {
       parsePatterns(unmask(tmplMasked, lits)))
   }
 
+  /** `ASK { body }` through the text grammar: one row, one boolean
+    * column `matched`; the body accepts the full pattern surface. Lazy
+    * like [[ask]] (short-circuits at the first solution) — unless the
+    * body uses `+`/`*` paths, whose bridging is eager.
+    */
+  def askQuery(quads: DataFrame, text: String): DataFrame = {
+    val (masked, lits) = maskLiterals(text)
+    val rest = masked match {
+      case AskHeadRe(r) => r
+      case _ => throw new IllegalArgumentException(
+        s"askQuery expects 'ASK { … }', got '$text'")
+    }
+    val (bodyMasked, tail) = extractBraceBlock(rest)
+    require(tail.trim.isEmpty, s"unrecognized text after ASK block: '${tail.trim}'")
+    compileBody(quads, unmask(bodyMasked, lits)).limit(1)
+      .select(lit(1).as("one"))
+      .agg((count(col("one")) > 0).as("matched"))
+  }
+
+  /** `DESCRIBE <iri>` through the text grammar — the symmetric concise
+    * bounded description of [[describe]].
+    */
+  def describeQuery(quads: DataFrame, text: String): DataFrame = text.trim match {
+    case DescribeHeadRe(iri) => describe(quads, iri)
+    case _ => throw new IllegalArgumentException(
+      s"describeQuery expects 'DESCRIBE <iri>', got '$text'")
+  }
+
+  /** One entry point for every query form — dispatches on the leading
+    * keyword: `SELECT …` / bare pattern block → [[select]],
+    * `CONSTRUCT …` → [[constructQuery]], `ASK …` → [[askQuery]],
+    * `DESCRIBE <iri>` → [[describeQuery]].
+    */
+  def query(quads: DataFrame, text: String): DataFrame = {
+    val (masked, _) = maskLiterals(text)
+    if (ConstructHeadRe.pattern.matcher(masked).matches()) constructQuery(quads, text)
+    else if (AskHeadRe.pattern.matcher(masked).matches()) askQuery(quads, text)
+    else if (DescribeHeadRe.pattern.matcher(text.trim).matches()) describeQuery(quads, text)
+    else select(quads, text)
+  }
+
   private val SelectHeadRe = """(?is)^\s*SELECT\b(.*?)\bWHERE\b(.*)$""".r
   private val ConstructHeadRe = """(?is)^\s*CONSTRUCT\b(.*)$""".r
   private val WhereTailRe = """(?is)^\s*WHERE\b(.*)$""".r
+  private val AskHeadRe = """(?is)^\s*ASK\b(.*)$""".r
+  private val DescribeHeadRe = """(?is)^\s*DESCRIBE\s+<([^<>\s]*)>\s*$""".r
 
   /** The pattern surface below the optional SELECT head: bridge any
     * `<p>+`/`<p>*` closure predicates, compile the UNION branches, drop
@@ -527,17 +574,21 @@ object GraphOps {
   /** One SELECT-head projection: a plain variable or an aggregate. */
   sealed private trait Proj
   private final case class ProjVar(name: String) extends Proj
-  /** `arg = None` is `COUNT(*)`. */
+  /** `arg = None` is `COUNT(*)`; `distinctArg` is `COUNT(DISTINCT ?v)`. */
   private final case class ProjAgg(func: String, arg: Option[String],
-                                   alias: String) extends Proj
+                                   alias: String,
+                                   distinctArg: Boolean = false) extends Proj
 
   private val AggProjRe =
-    """(?i)^\(\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(\*|\?\w+)\s*\)\s+AS\s+\?(\w+)\s*\)$""".r
+    """(?i)^\(\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(DISTINCT\s+)?(\*|\?\w+)\s*\)\s+AS\s+\?(\w+)\s*\)$""".r
   private val GroupByRe = """(?i)\bGROUP\s+BY((?:\s+\?\w+)+)""".r
   private val OrderByRe =
     """(?i)\bORDER\s+BY((?:\s+(?:(?:ASC|DESC)\s*\(\s*\?\w+\s*\)|\?\w+))+)""".r
   private val OrderKeyRe = """(?i)(ASC|DESC)\s*\(\s*\?(\w+)\s*\)|\?(\w+)""".r
   private val LimitRe = """(?i)\bLIMIT\s+(\d+)""".r
+  private val OffsetRe = """(?i)\bOFFSET\s+(\d+)""".r
+  private val HavingRe =
+    """(?i)\bHAVING\s*\(\s*\?(\w+)\s*(=|!=|<=|>=|<|>)\s*("[^"]*"|[^\s()]+)\s*\)""".r
   private val VarRe = """\?(\w+)""".r
 
   /** Parse the text between SELECT and WHERE: optional DISTINCT, then
@@ -552,8 +603,12 @@ object GraphOps {
     else {
       val tokRe = """\((?:[^()]|\([^()]*\))*\)|\S+""".r
       val projs = tokRe.findAllIn(h).map {
-        case AggProjRe(func, arg, alias) =>
-          ProjAgg(func.toUpperCase, if (arg == "*") None else Some(arg.drop(1)), alias)
+        case AggProjRe(func, dist, arg, alias) =>
+          val f = func.toUpperCase
+          if (dist != null) require(f == "COUNT",
+            s"DISTINCT inside an aggregate is supported for COUNT only, got $f")
+          ProjAgg(f, if (arg == "*") None else Some(arg.drop(1)), alias,
+            distinctArg = dist != null)
         case t if VarRe.pattern.matcher(t).matches() => ProjVar(t.drop(1))
         case t => throw new IllegalArgumentException(
           s"unrecognized SELECT projection '$t'")
@@ -578,9 +633,19 @@ object GraphOps {
       }.toSeq)
       .getOrElse(Seq.empty)
     val limit = LimitRe.findFirstMatchIn(tail).map(_.group(1).toInt)
+    val offset = OffsetRe.findFirstMatchIn(tail).map(_.group(1).toInt)
+    // HAVING(?alias op const): a post-aggregation VarFilter over the
+    // projected aggregate aliases (numeric or quoted-string operand)
+    val having = HavingRe.findAllMatchIn(tail).map { m =>
+      val raw = m.group(3)
+      val operand =
+        if (raw.startsWith("\"") && raw.endsWith("\"")) Right(raw.drop(1).dropRight(1))
+        else Left(raw.toDouble)
+      VarFilter(m.group(1), m.group(2), operand)
+    }.toSeq
     val leftover =
-      LimitRe.replaceAllIn(OrderByRe.replaceAllIn(
-        GroupByRe.replaceAllIn(tail, " "), " "), " ").trim
+      HavingRe.replaceAllIn(OffsetRe.replaceAllIn(LimitRe.replaceAllIn(
+        OrderByRe.replaceAllIn(GroupByRe.replaceAllIn(tail, " "), " "), " "), " "), " ").trim
     require(leftover.isEmpty, s"unrecognized text after WHERE block: '$leftover'")
 
     val aggs = projs.collect { case a: ProjAgg => a }
@@ -595,6 +660,9 @@ object GraphOps {
           s"non-aggregated projection(s) ${stray.mkString(", ")} must appear in GROUP BY")
         val aggCols = aggs.map { a =>
           val c = a.func match {
+            case "COUNT" if a.distinctArg =>
+              countDistinct(col(a.arg.getOrElse(
+                throw new IllegalArgumentException("COUNT(DISTINCT) needs a ?variable"))))
             case "COUNT" => a.arg.map(v => count(col(v))).getOrElse(count(lit(1)))
             case "SUM" => sum(col(a.arg.getOrElse(
               throw new IllegalArgumentException("SUM needs a ?variable"))).cast("double"))
@@ -617,13 +685,18 @@ object GraphOps {
         }: _*)
       } else if (plainVars.nonEmpty) bindings.select(plainVars.map(col): _*)
       else bindings
-    val dd = if (distinct) projected.distinct() else projected
+    require(having.isEmpty || aggs.nonEmpty,
+      "HAVING requires an aggregate projection in SELECT")
+    val filtered = applyFilters(projected, having)
+    val dd = if (distinct) filtered.distinct() else filtered
     val ordered =
       if (orderKeys.isEmpty) dd
       else dd.orderBy(orderKeys.map { case (v, desc) =>
         if (desc) col(v).desc else col(v).asc
       }: _*)
-    limit.map(ordered.limit).getOrElse(ordered)
+    // SPARQL slice order: OFFSET skips first, LIMIT caps what remains
+    val sliced = offset.map(ordered.offset).getOrElse(ordered)
+    limit.map(sliced.limit).getOrElse(sliced)
   }
 
   /** Content of the first brace-balanced `{ … }` block in masked text,
@@ -682,8 +755,11 @@ object GraphOps {
     }
     out += cur.toString
     // strip braces while still masked (every brace in masked text is
-    // structural), THEN restore IRIs and literals
-    out.toSeq.map(g => unmask(unmaskIris(stripOuterBraces(g.trim), iris), lits))
+    // structural), THEN restore IRIs and literals. NOTE `strip()`, not
+    // `trim`: trim removes every char ≤ U+0020 — including the U+0002
+    // mask delimiter of a group-edge IRI token — where strip() removes
+    // Unicode whitespace only
+    out.toSeq.map(g => unmask(unmaskIris(stripOuterBraces(g.strip()), iris), lits))
   }
 
   private val MaskChar: Char = 1.toChar // U+0001, cannot appear in query text

@@ -606,6 +606,50 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq("n1"), "numeric compare: 2 < 10 holds, 5 < 3 fails ('10' lexical would fail)")
   }
 
+  test("askQuery / describeQuery / query dispatcher") {
+    val kg = quads(
+      ("n1", "p:name", "One", XsdString), ("n1", "p:of", "r1", ""),
+      ("c1", "p:in", "n1", ""))
+    val hit = GraphOps.askQuery(kg, "ASK { ?c <p:in> ?n . ?n <p:of> ?r }").collect()
+    assert(hit.length == 1 && hit(0).getBoolean(0))
+    val miss = GraphOps.askQuery(kg, "ASK { ?c <p:in> <n9> }").collect()
+    assert(miss.length == 1 && !miss(0).getBoolean(0))
+    val desc = GraphOps.describeQuery(kg, "DESCRIBE <n1>").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(desc == Set(("n1", "p:name"), ("n1", "p:of"), ("c1", "p:in")))
+    // the dispatcher routes all four forms
+    assert(GraphOps.query(kg, "ASK { ?c <p:in> ?n }").collect()(0).getBoolean(0))
+    assert(GraphOps.query(kg, "DESCRIBE <n1>").count() == 3)
+    assert(GraphOps.query(kg, "SELECT ?c WHERE { ?c <p:in> ?n }").columns.toSeq == Seq("c"))
+    assert(GraphOps.query(kg,
+      "CONSTRUCT { ?n <p:has> ?c } WHERE { ?c <p:in> ?n }").count() == 1)
+    assert(GraphOps.query(kg, "?c <p:in> ?n").count() == 1) // bare block
+    assertThrows[IllegalArgumentException](GraphOps.askQuery(kg, "ASK { ?c <p:in> ?n } junk"))
+  }
+
+  test("select: HAVING, OFFSET, COUNT(DISTINCT ?v)") {
+    val kg = quads(
+      ("c1", "p:in", "n1", ""), ("c2", "p:in", "n1", ""), ("c3", "p:in", "n1", ""),
+      ("c4", "p:in", "n2", ""), ("c5", "p:in", "n3", ""), ("c5b", "p:in", "n3", ""))
+    val having = select(kg,
+      """SELECT ?n (COUNT(*) AS ?members) WHERE { ?c <p:in> ?n }
+        |GROUP BY ?n HAVING(?members >= 2) ORDER BY ?n""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(having == Seq(("n1", 3L), ("n3", 2L)))
+    val sliced = select(kg,
+      """SELECT DISTINCT ?n WHERE { ?c <p:in> ?n } ORDER BY ?n LIMIT 1 OFFSET 1""")
+      .collect().map(_.getString(0)).toSeq
+    assert(sliced == Seq("n2"), "OFFSET skips n1, LIMIT keeps one")
+    val cd = select(kg,
+      """SELECT (COUNT(DISTINCT ?n) AS ?n_nations) WHERE { ?c <p:in> ?n }""")
+      .collect()
+    assert(cd.length == 1 && cd(0).getLong(0) == 3L)
+    assertThrows[IllegalArgumentException](select(kg,
+      "SELECT (SUM(DISTINCT ?n) AS ?x) WHERE { ?c <p:in> ?n }"))
+    assertThrows[IllegalArgumentException](select(kg,
+      "SELECT ?n WHERE { ?c <p:in> ?n } HAVING(?n > 1)")) // HAVING without aggregate
+  }
+
   test("constructQuery: CONSTRUCT { template } WHERE { body } end-to-end") {
     val kg = quads(
       ("c1", "p:in", "n1", ""), ("c2", "p:in", "n1", ""), ("n1", "p:of", "r1", ""))
