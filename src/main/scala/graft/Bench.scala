@@ -492,7 +492,13 @@ object Bench {
     // from the STDOUT line rather than losing the headline — the full map
     // is always in bench_out.json
     val compact = {
-      val full = compactWith(qs)
+      // 2-decimal times in the STDOUT map only — with 70+ gated queries
+      // the 3-decimal map is within ~15 chars of the budget, and the
+      // full-precision map is always in bench_out.json
+      val qsCompact = (results.map { case (k, v, ok, _) =>
+          "\"" + k + "\":" + (if (ok) f"$v%.2f" else "\"error\"")
+        } :+ ("\"pipeline_e2e\":" + f"$pipeSecs%.2f")).mkString("{", ",", "}")
+      val full = compactWith(qsCompact)
       if (full.length <= 1900) full
       else compactWith(s"""{"omitted_count":${names.size}}""")
     }

@@ -742,6 +742,86 @@ object SparkEntry {
       """SELECT DISTINCT ?n WHERE { ?m <urn:dm:customer#ref-c_nationkey> ?n }
         |ORDER BY DESC(?n) LIMIT 5""".stripMargin)
 
+  /** Boolean FILTER composition (round 5): `&& || !` with parens in one
+    * expression — high regions, or region 0 minus one named nation.
+    */
+  def kgFilterBool(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """SELECT ?n ?name WHERE {
+        |  ?n <urn:dm:nation#n_name> ?name . ?n <urn:dm:nation#n_regionkey> ?rk .
+        |  FILTER(?rk >= 3 || (?rk < 1 && !(?name = "ALGERIA")))
+        |} ORDER BY ?n""".stripMargin)
+
+  /** String FILTER functions (round 5): REGEX (find semantics, anchored
+    * here), CONTAINS + STRLEN arithmetic-free composition, STRSTARTS —
+    * all in one disjunction.
+    */
+  def kgFilterStr(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """SELECT ?n ?name WHERE {
+        |  ?n <urn:dm:nation#n_name> ?name .
+        |  FILTER(REGEX(?name, "^[A-I].*A$")
+        |         || (CONTAINS(?name, "AN") && STRLEN(?name) <= 6)
+        |         || STRSTARTS(?name, "UNI"))
+        |} ORDER BY ?n""".stripMargin)
+
+  /** FILTER EXISTS (round 5): nations that have at least one supplier —
+    * a left-semi join on the shared nation variable, no row duplication
+    * however many suppliers match.
+    */
+  def kgExists(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """SELECT ?n ?name WHERE {
+        |  ?n <urn:dm:nation#n_name> ?name .
+        |  FILTER EXISTS { ?s <urn:dm:supplier#ref-s_nationkey> ?n }
+        |} ORDER BY ?n""".stripMargin)
+
+  /** FILTER NOT EXISTS (round 5): nations with no edge into region 0 —
+    * the anti-join twin of [[kgExists]].
+    */
+  def kgNotExists(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """SELECT ?n ?name WHERE {
+        |  ?n <urn:dm:nation#n_name> ?name .
+        |  FILTER NOT EXISTS { ?n <urn:dm:nation#ref-n_regionkey> <urn:dm:region/0> }
+        |} ORDER BY ?n""".stripMargin)
+
+  /** BIND (round 5): a CONCAT string alias and an arithmetic alias, the
+    * latter consumed by a FILTER — projection of derived values, SPARQL's
+    * `BIND(expr AS ?v)`.
+    */
+  def kgBind(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """SELECT ?label ?score WHERE {
+        |  ?n <urn:dm:nation#n_name> ?nm . ?n <urn:dm:nation#n_regionkey> ?rk .
+        |  BIND(CONCAT(?nm, "/", ?rk) AS ?label) .
+        |  BIND(?rk * 10 + ?rk AS ?score) .
+        |  FILTER(?score >= 22)
+        |} ORDER BY ?label""".stripMargin)
+
+  /** GROUP_CONCAT + SAMPLE aggregates (round 5): nation names per
+    * region, sorted-concatenated (deterministic where SPARQL leaves the
+    * order open) plus the deterministic SAMPLE (minimum).
+    */
+  def kgGroupConcat(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """SELECT ?r (GROUP_CONCAT(?nm; SEPARATOR="|") AS ?names)
+        |       (SAMPLE(?nm) AS ?first_name) WHERE {
+        |  ?n <urn:dm:nation#ref-n_regionkey> ?r . ?n <urn:dm:nation#n_name> ?nm
+        |} GROUP BY ?r ORDER BY ?r""".stripMargin)
+
+  /** Subquery (round 5): SPARQL 1.1 `{ SELECT … }` — per-nation customer
+    * counts aggregated in a sub-select, joined to the outer name pattern
+    * on the shared nation variable.
+    */
+  def kgSubquery(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """SELECT ?name ?n_customers WHERE {
+        |  ?n <urn:dm:nation#n_name> ?name .
+        |  { SELECT ?n (COUNT(*) AS ?n_customers) WHERE {
+        |      ?c <urn:dm:customer#ref-c_nationkey> ?n } GROUP BY ?n }
+        |} ORDER BY ?name""".stripMargin)
+
   // --------------------------------------------------------------- map
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -796,6 +876,13 @@ object SparkEntry {
     "kg_select" -> (kgSelect(_, _)),
     "kg_select_agg" -> (kgSelectAgg(_, _)),
     "kg_select_modifiers" -> (kgSelectModifiers(_, _)),
+    "kg_filter_bool" -> (kgFilterBool(_, _)),
+    "kg_filter_str" -> (kgFilterStr(_, _)),
+    "kg_exists" -> (kgExists(_, _)),
+    "kg_not_exists" -> (kgNotExists(_, _)),
+    "kg_bind" -> (kgBind(_, _)),
+    "kg_group_concat" -> (kgGroupConcat(_, _)),
+    "kg_subquery" -> (kgSubquery(_, _)),
     "kg_union_filter_lt" -> (kgUnionFilterLt(_, _)),
     "kg_minus" -> (kgMinus(_, _)),
     "kg_values" -> (kgValues(_, _)),
@@ -1168,6 +1255,50 @@ object SparkEntry {
         |  SELECT 'urn:dm:nation/'||c_nationkey, n_regionkey FROM customer
         |  JOIN nation ON n_nationkey = c_nationkey WHERE n_regionkey >= 2)
         |GROUP BY n ORDER BY n""".stripMargin,
+    // boolean FILTER composition: && / || / ! with parens
+    "kg_filter_bool" ->
+      """SELECT 'urn:dm:nation/'||n_nationkey AS n, n_name AS name
+        |FROM nation
+        |WHERE n_regionkey >= 3 OR (n_regionkey < 1 AND NOT (n_name = 'ALGERIA'))
+        |ORDER BY n""".stripMargin,
+    // string FILTER functions: REGEX / CONTAINS+STRLEN / STRSTARTS
+    "kg_filter_str" ->
+      """SELECT 'urn:dm:nation/'||n_nationkey AS n, n_name AS name
+        |FROM nation
+        |WHERE regexp_matches(n_name, '^[A-I].*A$')
+        |   OR (contains(n_name, 'AN') AND length(n_name) <= 6)
+        |   OR starts_with(n_name, 'UNI')
+        |ORDER BY n""".stripMargin,
+    // FILTER EXISTS: semi-join — no duplication however many suppliers
+    "kg_exists" ->
+      """SELECT 'urn:dm:nation/'||n_nationkey AS n, n_name AS name
+        |FROM nation
+        |WHERE EXISTS(SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+        |ORDER BY n""".stripMargin,
+    // FILTER NOT EXISTS: anti-join on the region-0 edge
+    "kg_not_exists" ->
+      """SELECT 'urn:dm:nation/'||n_nationkey AS n, n_name AS name
+        |FROM nation WHERE NOT (n_regionkey = 0)
+        |ORDER BY n""".stripMargin,
+    // BIND: CONCAT over the lexical forms; arithmetic over double casts
+    "kg_bind" ->
+      """SELECT n_name || '/' || CAST(n_regionkey AS VARCHAR) AS label,
+        |  CAST(n_regionkey * 10 + n_regionkey AS DOUBLE) AS score
+        |FROM nation WHERE n_regionkey * 10 + n_regionkey >= 22
+        |ORDER BY label""".stripMargin,
+    // GROUP_CONCAT sorts its values (the engine's deterministic choice);
+    // SAMPLE is the minimum — both replicated exactly
+    "kg_group_concat" ->
+      """SELECT 'urn:dm:region/'||n_regionkey AS r,
+        |  string_agg(n_name, '|' ORDER BY n_name) AS names,
+        |  min(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY r""".stripMargin,
+    // subquery: aggregate inside, join outside on the shared variable
+    "kg_subquery" ->
+      """SELECT n_name AS name, cnt AS n_customers FROM nation
+        |JOIN (SELECT c_nationkey, count(*) AS cnt FROM customer GROUP BY 1)
+        |  ON c_nationkey = n_nationkey
+        |ORDER BY name""".stripMargin,
     // DISTINCT + ORDER BY DESC + LIMIT through the grammar
     "kg_select_modifiers" ->
       """SELECT DISTINCT 'urn:dm:nation/'||c_nationkey AS n FROM customer

@@ -295,6 +295,98 @@ object GraphOps {
     case other => throw new IllegalArgumentException(s"unsupported FILTER op '$other'")
   }
 
+  /** A value-level expression inside FILTER / BIND: variables, literals,
+    * string functions, arithmetic. `stringTyped` drives comparison
+    * semantics — a comparison with a string-typed side compares
+    * lexically, anything else casts both sides to double (so literal
+    * "42" matches 42.0, SPARQL's numeric-value semantics over this
+    * engine's lexical-form storage).
+    */
+  sealed trait ValueExpr { def column: Column; def stringTyped: Boolean = false }
+  final case class VEVar(name: String) extends ValueExpr { def column: Column = col(name) }
+  final case class VENum(v: Double) extends ValueExpr { def column: Column = lit(v) }
+  final case class VEStr(s: String) extends ValueExpr {
+    def column: Column = lit(s); override def stringTyped = true
+  }
+  /** `STRLEN(e)` — numeric. */
+  final case class VEStrLen(e: ValueExpr) extends ValueExpr {
+    def column: Column = length(e.column.cast("string")).cast("double")
+  }
+  /** `STR(e)` — the lexical form (SPARQL's node-to-string cast). */
+  final case class VEStrCast(e: ValueExpr) extends ValueExpr {
+    def column: Column = e.column.cast("string"); override def stringTyped = true
+  }
+  /** `CONCAT(e, …)` — string concatenation (null-propagating, as SPARQL
+    * CONCAT errors on unbound arguments and the error eliminates the row).
+    */
+  final case class VEConcat(args: Seq[ValueExpr]) extends ValueExpr {
+    def column: Column = concat(args.map(_.column.cast("string")): _*)
+    override def stringTyped = true
+  }
+  /** Numeric arithmetic `+ - * /` over double-cast operands; a
+    * non-numeric lexical form casts to null and the row drops
+    * (error-eliminates-row).
+    */
+  final case class VEArith(op: Char, l: ValueExpr, r: ValueExpr) extends ValueExpr {
+    def column: Column = {
+      val (a, b) = (l.column.cast("double"), r.column.cast("double"))
+      op match {
+        case '+' => a + b
+        case '-' => a - b
+        case '*' => a * b
+        case '/' => a / b
+      }
+    }
+  }
+  final case class VENeg(e: ValueExpr) extends ValueExpr {
+    def column: Column = -e.column.cast("double")
+  }
+
+  /** Boolean composition of constraints — Spark's three-valued AND/OR
+    * matches SPARQL's: an errored (null) operand drops the row unless the
+    * other side decides (`null OR true` keeps it, exactly SPARQL §17.2).
+    */
+  final case class AndC(l: Constraint, r: Constraint) extends Constraint {
+    def column: Column = l.column && r.column
+  }
+  final case class OrC(l: Constraint, r: Constraint) extends Constraint {
+    def column: Column = l.column || r.column
+  }
+  final case class NotC(c: Constraint) extends Constraint {
+    def column: Column = !c.column
+  }
+  /** `BOUND(?v)` — true when the (OPTIONAL-introduced) variable is bound. */
+  final case class BoundC(variable: String) extends Constraint {
+    def column: Column = col(variable).isNotNull
+  }
+  /** String tests `REGEX` (find semantics, optional `"i"` flag) /
+    * `STRSTARTS` / `STRENDS` / `CONTAINS` over arbitrary value
+    * expressions.
+    */
+  final case class StrTest(func: String, target: ValueExpr, arg: ValueExpr,
+                           ignoreCase: Boolean = false) extends Constraint {
+    def column: Column = {
+      val t = target.column.cast("string")
+      val a = arg.column.cast("string")
+      func match {
+        case "REGEX" =>
+          regexp_like(t, if (ignoreCase) concat(lit("(?i)"), a) else a)
+        case "STRSTARTS" => startswith(t, a)
+        case "STRENDS" => endswith(t, a)
+        case "CONTAINS" => contains(t, a)
+      }
+    }
+  }
+  /** Generalized comparison over value expressions (the simple var-vs-
+    * constant / var-vs-var shapes stay [[VarFilter]]/[[VarCompare]]).
+    */
+  final case class ExprCmp(l: ValueExpr, op: String, r: ValueExpr) extends Constraint {
+    def column: Column =
+      if (l.stringTyped || r.stringTyped)
+        cmp(op, l.column.cast("string"), r.column.cast("string"))
+      else cmp(op, l.column.cast("double"), r.column.cast("double"))
+  }
+
   /** A parsed `FILTER(?var op operand)` constraint: `op` is one of
     * `= != < <= > >=`; the operand is numeric (`Left` — both sides
     * compare as doubles, so literal "42" matches 42.0) or a quoted
@@ -318,27 +410,254 @@ object GraphOps {
 
   final case class ParsedQuery(patterns: Seq[TriplePattern], filters: Seq[Constraint])
 
-  private val FilterRe =
-    """(?i)FILTER\s*\(\s*\?(\w+)\s*(=|!=|<=|>=|<|>)\s*("[^"]*"|[^\s()]+)\s*\)""".r
+  // ---------------------------------------- FILTER / BIND expressions
 
-  /** Pull every `FILTER(?v op const)` clause out of `s` — which may be
-    * literal-MASKED text (see `maskLiterals`); `um` restores any masked
-    * operand before it is parsed. Returns (filters, remaining text with
-    * the clauses blanked).
+  /** Tokenize a FILTER/BIND expression body: quoted strings and `<iri>`
+    * tokens are atomic; two-char operators (`&& || != <= >=`) bind
+    * before their one-char prefixes; `<` with a matching `>` before any
+    * whitespace is an IRI, otherwise the less-than operator.
+    */
+  private def tokenizeExpr(s: String): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '"') {
+        val j = s.indexOf('"', i + 1)
+        require(j >= 0, s"unterminated string literal in '$s'")
+        out += s.substring(i, j + 1); i = j + 1
+      } else if (c == '&' || c == '|') {
+        require(i + 1 < s.length && s(i + 1) == c,
+          s"single '$c' is not an operator — use '$c$c' in '$s'")
+        out += s.substring(i, i + 2); i += 2
+      } else if (c == '!' || c == '>' || c == '=') {
+        if (c != '=' && i + 1 < s.length && s(i + 1) == '=') {
+          out += s.substring(i, i + 2); i += 2
+        } else { out += c.toString; i += 1 }
+      } else if (c == '<') {
+        // IRI iff a '>' closes the token before any whitespace
+        var j = i + 1
+        while (j < s.length && !s(j).isWhitespace && s(j) != '>') j += 1
+        if (j < s.length && s(j) == '>') { out += s.substring(i, j + 1); i = j + 1 }
+        else if (i + 1 < s.length && s(i + 1) == '=') { out += "<="; i += 2 }
+        else { out += "<"; i += 1 }
+      } else if ("()+-*/,".indexOf(c.toInt) >= 0) { out += c.toString; i += 1 }
+      else if (c == '?') {
+        var j = i + 1
+        while (j < s.length && (s(j).isLetterOrDigit || s(j) == '_')) j += 1
+        require(j > i + 1, s"bare '?' in '$s'")
+        out += s.substring(i, j); i = j
+      } else if (c.isDigit) {
+        var j = i
+        while (j < s.length && (s(j).isDigit || s(j) == '.')) j += 1
+        out += s.substring(i, j); i = j
+      } else if (c.isLetter || c == '_') {
+        var j = i
+        while (j < s.length && (s(j).isLetterOrDigit || s(j) == '_')) j += 1
+        out += s.substring(i, j); i = j
+      } else throw new IllegalArgumentException(s"unexpected character '$c' in '$s'")
+    }
+    out.toIndexedSeq
+  }
+
+  /** Recursive-descent parser over [[tokenizeExpr]] output. Constraint
+    * grammar: `||` over `&&` over `!`/parens/atoms; atoms are
+    * comparisons (`expr op expr`), `BOUND(?v)`, or the string tests.
+    * Value grammar: `+ -` over `* /` over unary minus / parens /
+    * variables / numbers / strings / IRIs / `STRLEN` / `STR` / `CONCAT`.
+    */
+  private final class ExprParser(toks: IndexedSeq[String]) {
+    private var pos = 0
+    private def peek: String = if (pos < toks.length) toks(pos) else ""
+    private def next(): String = { val t = peek; pos += 1; t }
+    private def expect(t: String): Unit = {
+      val got = next()
+      require(got == t, s"expected '$t', got '${if (got.isEmpty) "<end>" else got}'")
+    }
+    def atEnd: Boolean = pos >= toks.length
+    def leftover: String = toks.drop(pos).mkString(" ")
+
+    def parseConstraint(): Constraint = {
+      var l = parseAndChain()
+      while (peek == "||") { next(); l = OrC(l, parseAndChain()) }
+      l
+    }
+    private def parseAndChain(): Constraint = {
+      var l = parseUnary()
+      while (peek == "&&") { next(); l = AndC(l, parseUnary()) }
+      l
+    }
+    private def parseUnary(): Constraint =
+      if (peek == "!") { next(); NotC(parseUnary()) }
+      else parseAtom()
+
+    private def parseAtom(): Constraint = {
+      if (peek == "(") {
+        // ambiguous: boolean group '(?a>1 || ?b<2)' vs arithmetic group
+        // '(?a+1) > ?b' — try boolean first, backtrack to a comparison
+        val save = pos
+        try {
+          expect("("); val c = parseConstraint(); expect(")")
+          return c
+        } catch { case _: IllegalArgumentException => pos = save }
+      }
+      peek.toUpperCase match {
+        case "BOUND" =>
+          next(); expect("(")
+          val v = next()
+          require(v.startsWith("?"), s"BOUND needs a ?variable, got '$v'")
+          expect(")")
+          BoundC(v.drop(1))
+        case f @ ("REGEX" | "STRSTARTS" | "STRENDS" | "CONTAINS") =>
+          next(); expect("(")
+          val target = parseValue(); expect(",")
+          val arg = parseValue()
+          var ignoreCase = false
+          if (peek == ",") { // REGEX flags — only "i" is supported
+            next()
+            val flags = next()
+            require(f == "REGEX" && flags == "\"i\"",
+              s"only the REGEX \"i\" flag is supported, got '$flags' for $f")
+            ignoreCase = true
+          }
+          expect(")")
+          StrTest(f, target, arg, ignoreCase)
+        case _ =>
+          val l = parseValue()
+          val op = next()
+          require(Set("=", "!=", "<", "<=", ">", ">=").contains(op),
+            s"expected a comparison operator, got '${if (op.isEmpty) "<end>" else op}'")
+          val r = parseValue()
+          mkCmp(l, op, r)
+      }
+    }
+
+    def parseValue(): ValueExpr = {
+      var l = parseMul()
+      while (peek == "+" || peek == "-") {
+        val op = next().head
+        l = VEArith(op, l, parseMul())
+      }
+      l
+    }
+    private def parseMul(): ValueExpr = {
+      var l = parseFactor()
+      while (peek == "*" || peek == "/") {
+        val op = next().head
+        l = VEArith(op, l, parseFactor())
+      }
+      l
+    }
+    private def parseFactor(): ValueExpr = {
+      val t = peek
+      if (t == "-") { next(); VENeg(parseFactor()) }
+      else if (t == "(") { next(); val e = parseValue(); expect(")"); e }
+      else if (t.startsWith("?")) { next(); VEVar(t.drop(1)) }
+      else if (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2) {
+        next(); VEStr(t.drop(1).dropRight(1))
+      } else if (t.startsWith("<") && t.endsWith(">")) {
+        next(); VEStr(t.drop(1).dropRight(1)) // IRIs compare lexically
+      } else if (t.nonEmpty && t.head.isDigit) {
+        next(); VENum(t.toDouble)
+      } else t.toUpperCase match {
+        case "STRLEN" => next(); expect("("); val e = parseValue(); expect(")"); VEStrLen(e)
+        case "STR" => next(); expect("("); val e = parseValue(); expect(")"); VEStrCast(e)
+        case "CONCAT" =>
+          next(); expect("(")
+          val args = scala.collection.mutable.ArrayBuffer(parseValue())
+          while (peek == ",") { next(); args += parseValue() }
+          expect(")")
+          VEConcat(args.toSeq)
+        case _ => throw new IllegalArgumentException(
+          s"unrecognized expression token '${if (t.isEmpty) "<end>" else t}'")
+      }
+    }
+  }
+
+  /** Comparison constructor: the simple shapes keep their dedicated
+    * (public, pattern-matchable) classes; everything else generalizes.
+    */
+  private def mkCmp(l: ValueExpr, op: String, r: ValueExpr): Constraint = (l, r) match {
+    case (VEVar(a), VEVar(b)) => VarCompare(a, op, b)
+    case (VEVar(a), VENum(d)) => VarFilter(a, op, Left(d))
+    case (VEVar(a), VEStr(s)) => VarFilter(a, op, Right(s))
+    case _ => ExprCmp(l, op, r)
+  }
+
+  /** Parse one FILTER/HAVING expression body (the text between the
+    * outer parens) into a [[Constraint]]; raises on trailing tokens.
+    */
+  def parseFilterExpr(body: String): Constraint = {
+    val p = new ExprParser(tokenizeExpr(body))
+    val c = p.parseConstraint()
+    require(p.atEnd, s"trailing tokens after FILTER expression: '${p.leftover}'")
+    c
+  }
+
+  /** Parse one BIND value expression (the text left of ` AS `). */
+  def parseValueExpr(body: String): ValueExpr = {
+    val p = new ExprParser(tokenizeExpr(body))
+    val e = p.parseValue()
+    require(p.atEnd, s"trailing tokens after BIND expression: '${p.leftover}'")
+    e
+  }
+
+  /** Find every `KEYWORD ( … )` clause (balanced parens) in `s`, parse
+    * each body with `parse`, and blank the consumed spans. A `KEYWORD`
+    * not followed by `(` is left in place (e.g. `FILTER EXISTS { … }`,
+    * which [[compileGroup]] extracts separately). Runs on literal-MASKED
+    * text; `um` restores literals before the body parse.
+    */
+  private def extractParenClauses[A](s: String, keyword: String,
+                                     um: String => String,
+                                     parse: String => A): (Seq[A], String) = {
+    val out = scala.collection.mutable.ArrayBuffer[A]()
+    val sb = new StringBuilder(s)
+    val kwRe = s"(?i)\\b$keyword\\b".r
+    for (m <- kwRe.findAllMatchIn(s)) {
+      var i = m.end
+      while (i < s.length && s(i).isWhitespace) i += 1
+      if (i < s.length && s(i) == '(') {
+        var depth = 0
+        var j = i
+        var endIdx = -1
+        while (j < s.length && endIdx < 0) {
+          if (s(j) == '(') depth += 1
+          else if (s(j) == ')') { depth -= 1; if (depth == 0) endIdx = j }
+          j += 1
+        }
+        require(endIdx >= 0, s"unbalanced parens after $keyword in '$s'")
+        out += parse(um(s.substring(i + 1, endIdx)))
+        for (k <- m.start to endIdx) sb.setCharAt(k, ' ')
+      }
+    }
+    (out.toSeq, sb.toString)
+  }
+
+  /** Pull every `FILTER( … )` clause out of `s` — which may be
+    * literal-MASKED text (see `maskLiterals`); `um` restores masked
+    * literals before the expression parse. Returns (filters, remaining
+    * text with the clauses blanked). `FILTER EXISTS`/`FILTER NOT
+    * EXISTS` brace forms are NOT consumed here.
     */
   private def extractFilters(s: String,
-                             um: String => String = identity): (Seq[Constraint], String) = {
-    val filters: Seq[Constraint] = FilterRe.findAllMatchIn(s).map { m =>
-      val raw = um(m.group(3))
-      if (raw.startsWith("?") && raw.length > 1)
-        VarCompare(m.group(1), m.group(2), raw.drop(1))
-      else if (raw.startsWith("\"") && raw.endsWith("\""))
-        VarFilter(m.group(1), m.group(2), Right(raw.drop(1).dropRight(1)))
-      else // malformed operand → NumberFormatException, loudly
-        VarFilter(m.group(1), m.group(2), Left(raw.toDouble))
-    }.toSeq
-    (filters, FilterRe.replaceAllIn(s, " "))
-  }
+                             um: String => String = identity): (Seq[Constraint], String) =
+    extractParenClauses(s, "FILTER", um, parseFilterExpr)
+
+  /** A parsed `BIND(expr AS ?alias)` clause. */
+  final case class Binding(alias: String, expr: ValueExpr)
+
+  private val AsAliasRe = """(?is)^(.*)\bAS\s+\?(\w+)\s*$""".r
+
+  /** Pull every `BIND(expr AS ?v)` clause out of masked text. */
+  private def extractBinds(s: String,
+                           um: String => String = identity): (Seq[Binding], String) =
+    extractParenClauses(s, "BIND", um, body => body match {
+      case AsAliasRe(expr, alias) => Binding(alias, parseValueExpr(expr))
+      case _ => throw new IllegalArgumentException(
+        s"BIND needs the form 'BIND(expr AS ?var)', got 'BIND($body)'")
+    })
 
   /** [[parsePatterns]] plus SPARQL's most common constraint form:
     * `FILTER(?v op const)` clauses anywhere in the block (numeric or
@@ -426,7 +745,15 @@ object GraphOps {
     * }}}
     *
     * Grammar (subset, not full SPARQL): triple patterns with ` . `
-    * separators; `FILTER(?v op const)`; `OPTIONAL { patterns [FILTERs] }`
+    * separators; `FILTER(expr)` where expr composes comparisons
+    * (`= != < <= > >=` over variables, numbers, strings, IRIs,
+    * `STRLEN/STR/CONCAT` calls and `+ - * /` arithmetic) with
+    * `&& || !` and parens, plus the predicates `BOUND(?v)`,
+    * `REGEX(?v, "pat"[, "i"])`, `STRSTARTS/STRENDS/CONTAINS(?v, "s")`;
+    * `FILTER EXISTS { patterns }` / `FILTER NOT EXISTS { patterns }`
+    * (semi/anti join on shared variables); `BIND(expr AS ?v)`;
+    * `{ SELECT … }` sub-selects (compiled recursively, joined on their
+    * projected shared variables); `OPTIONAL { patterns [FILTERs] }`
     * (left-joined on shared variables, FILTERs inside apply to the
     * optional side before the join); `MINUS { patterns [FILTERs] }`
     * (left-anti on shared variables — NOT EXISTS);
@@ -443,7 +770,10 @@ object GraphOps {
     * pattern block without the head returns all bindings as before):
     * projection by variable, `DISTINCT`, aggregate projections
     * `(COUNT(*)|COUNT(?v)|COUNT(DISTINCT ?v)|SUM(?v)|MIN(?v)|MAX(?v)|
-    * AVG(?v) AS ?alias)` with `GROUP BY ?v …` (SUM/AVG cast the lexical
+    * AVG(?v)|SAMPLE(?v)|GROUP_CONCAT(?v[; SEPARATOR="s"]) AS ?alias)`
+    * (SAMPLE picks the minimum and GROUP_CONCAT sorts its
+    * values — both deterministic where SPARQL leaves the choice
+    * implementation-defined) with `GROUP BY ?v …` (SUM/AVG cast the lexical
     * form to double; MIN/MAX compare lexically; COUNT(?v) counts bound
     * solutions), `HAVING(?alias op const)`,
     * `ORDER BY [ASC|DESC](?v) …`, `LIMIT n`, `OFFSET n` (OFFSET skips
@@ -459,10 +789,10 @@ object GraphOps {
     val (masked, lits) = maskLiterals(text)
     masked match {
       case SelectHeadRe(head, rest) =>
-        val (distinct, projs) = parseProjections(head)
+        val (distinct, projs) = parseProjections(head, unmask(_, lits))
         val (bodyMasked, tailMasked) = extractBraceBlock(rest)
         applyModifiers(compileBody(quads, unmask(bodyMasked, lits)),
-          distinct, projs, tailMasked)
+          distinct, projs, tailMasked, unmask(_, lits))
       case _ => compileBody(quads, text)
     }
   }
@@ -539,12 +869,14 @@ object GraphOps {
   private val AskHeadRe = """(?is)^\s*ASK\b(.*)$""".r
   private val DescribeHeadRe = """(?is)^\s*DESCRIBE\s+<([^<>\s]*)>\s*$""".r
 
-  /** The pattern surface below the optional SELECT head: bridge any
-    * `<p>+`/`<p>*` closure predicates, compile the UNION branches, drop
-    * the internal sequence-hop columns.
+  /** The pattern surface below the optional SELECT head: compile the
+    * UNION branches (each branch bridges its own `<p>+`/`<p>*` closure
+    * predicates and compiles its sub-select blocks against the RAW
+    * quads — a subquery re-enters [[select]] and does its own
+    * bridging), drop the internal sequence-hop columns.
     */
   private def compileBody(quads: DataFrame, body: String): DataFrame = {
-    val df = splitTopLevelUnion(body).map(compileGroup(bridgePaths(quads, body), _))
+    val df = splitTopLevelUnion(body).map(compileGroup(quads, _))
       .reduce(_.unionByName(_, allowMissingColumns = true))
     df.drop(df.columns.filter(_.startsWith(SeqVarPrefix)).toSeq: _*)
   }
@@ -574,13 +906,18 @@ object GraphOps {
   /** One SELECT-head projection: a plain variable or an aggregate. */
   sealed private trait Proj
   private final case class ProjVar(name: String) extends Proj
-  /** `arg = None` is `COUNT(*)`; `distinctArg` is `COUNT(DISTINCT ?v)`. */
+  /** `arg = None` is `COUNT(*)`; `distinctArg` is `COUNT(DISTINCT ?v)`;
+    * `sep` is GROUP_CONCAT's SEPARATOR.
+    */
   private final case class ProjAgg(func: String, arg: Option[String],
                                    alias: String,
-                                   distinctArg: Boolean = false) extends Proj
+                                   distinctArg: Boolean = false,
+                                   sep: Option[String] = None) extends Proj
 
   private val AggProjRe =
-    """(?i)^\(\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(DISTINCT\s+)?(\*|\?\w+)\s*\)\s+AS\s+\?(\w+)\s*\)$""".r
+    """(?i)^\(\s*(COUNT|SUM|MIN|MAX|AVG|SAMPLE)\s*\(\s*(DISTINCT\s+)?(\*|\?\w+)\s*\)\s+AS\s+\?(\w+)\s*\)$""".r
+  private val GroupConcatRe =
+    """(?i)^\(\s*GROUP_CONCAT\s*\(\s*\?(\w+)\s*(?:;\s*SEPARATOR\s*=\s*("[^"]*")\s*)?\)\s+AS\s+\?(\w+)\s*\)$""".r
   private val GroupByRe = """(?i)\bGROUP\s+BY((?:\s+\?\w+)+)""".r
   private val OrderByRe =
     """(?i)\bORDER\s+BY((?:\s+(?:(?:ASC|DESC)\s*\(\s*\?\w+\s*\)|\?\w+))+)""".r
@@ -595,7 +932,8 @@ object GraphOps {
     * `*` (or nothing) for all-bindings, else `?var` and
     * `(AGG(…) AS ?alias)` projections in output order.
     */
-  private def parseProjections(head: String): (Boolean, Seq[Proj]) = {
+  private def parseProjections(head: String,
+                               um: String => String = identity): (Boolean, Seq[Proj]) = {
     var h = head.trim
     val distinct = h.toUpperCase.startsWith("DISTINCT")
     if (distinct) h = h.substring("DISTINCT".length).trim
@@ -603,10 +941,14 @@ object GraphOps {
     else {
       val tokRe = """\((?:[^()]|\([^()]*\))*\)|\S+""".r
       val projs = tokRe.findAllIn(h).map {
+        case GroupConcatRe(arg, sep, alias) =>
+          ProjAgg("GROUP_CONCAT", Some(arg), alias,
+            sep = Option(sep).map(s => um(s).drop(1).dropRight(1)))
         case AggProjRe(func, dist, arg, alias) =>
           val f = func.toUpperCase
           if (dist != null) require(f == "COUNT",
             s"DISTINCT inside an aggregate is supported for COUNT only, got $f")
+          require(!(f == "SAMPLE" && arg == "*"), "SAMPLE needs a ?variable")
           ProjAgg(f, if (arg == "*") None else Some(arg.drop(1)), alias,
             distinctArg = dist != null)
         case t if VarRe.pattern.matcher(t).matches() => ProjVar(t.drop(1))
@@ -622,7 +964,8 @@ object GraphOps {
     * order. Raises on unrecognized trailing text.
     */
   private def applyModifiers(bindings: DataFrame, distinct: Boolean,
-                             projs: Seq[Proj], tail: String): DataFrame = {
+                             projs: Seq[Proj], tail: String,
+                             um: String => String = identity): DataFrame = {
     val groupVars = GroupByRe.findFirstMatchIn(tail)
       .map(m => VarRe.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
       .getOrElse(Seq.empty)
@@ -637,7 +980,7 @@ object GraphOps {
     // HAVING(?alias op const): a post-aggregation VarFilter over the
     // projected aggregate aliases (numeric or quoted-string operand)
     val having = HavingRe.findAllMatchIn(tail).map { m =>
-      val raw = m.group(3)
+      val raw = um(m.group(3))
       val operand =
         if (raw.startsWith("\"") && raw.endsWith("\"")) Right(raw.drop(1).dropRight(1))
         else Left(raw.toDouble)
@@ -672,6 +1015,15 @@ object GraphOps {
               throw new IllegalArgumentException("MIN needs a ?variable"))))
             case "MAX" => max(col(a.arg.getOrElse(
               throw new IllegalArgumentException("MAX needs a ?variable"))))
+            // SPARQL leaves SAMPLE's pick implementation-defined; min
+            // makes it deterministic (and cross-engine replayable)
+            case "SAMPLE" => min(col(a.arg.get))
+            // SPARQL leaves GROUP_CONCAT's order implementation-defined;
+            // sorting before the join makes it deterministic across
+            // partitionings/retries — the only shuffle-stable choice
+            case "GROUP_CONCAT" =>
+              array_join(array_sort(collect_list(col(a.arg.get).cast("string"))),
+                a.sep.getOrElse(" "))
           }
           c.as(a.alias)
         }
@@ -821,20 +1173,86 @@ object GraphOps {
     s.drop(1).dropRight(1)
   }
 
-  /** One UNION branch: OPTIONAL and MINUS blocks out first (so their
-    * FILTERs stay inside), then GRAPH blocks, then group-level FILTERs,
-    * then the remaining required patterns; compile base join → left-join
-    * optionals → anti-join minus groups → apply filters.
+  private val NotExistsRe = """(?i)FILTER\s+NOT\s+EXISTS\s*\{([^{}]*)\}""".r
+  private val ExistsRe = """(?i)FILTER\s+EXISTS\s*\{([^{}]*)\}""".r
+
+  /** Extract top-level `{ SELECT … }` sub-select blocks from masked
+    * text: each is compiled by a recursive [[select]] call and joined
+    * into the branch on its shared variables — SPARQL 1.1 subqueries.
+    * A sub-select directly inside OPTIONAL/MINUS/GRAPH/VALUES/EXISTS is
+    * rejected loudly (not silently mis-scoped).
     */
-  private def compileGroup(quads: DataFrame, group: String): DataFrame = {
+  private def extractSubqueries(s: String): (Seq[String], String) = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val sb = new StringBuilder(s)
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '{') {
+        var depth = 0
+        var j = i
+        var endIdx = -1
+        while (j < s.length && endIdx < 0) {
+          if (s(j) == '{') depth += 1
+          else if (s(j) == '}') { depth -= 1; if (depth == 0) endIdx = j }
+          j += 1
+        }
+        require(endIdx >= 0, s"unbalanced braces in '$s'")
+        val inner = s.substring(i + 1, endIdx)
+        if (inner.trim.toUpperCase.startsWith("SELECT")) {
+          val before = s.substring(0, i).trim
+          val words = before.split("\\s+").filter(_.nonEmpty)
+          val last = words.lastOption.getOrElse("").toUpperCase
+          val secondLast = if (words.length >= 2) words(words.length - 2).toUpperCase else ""
+          require(!Set("OPTIONAL", "MINUS", "EXISTS", "VALUES", "GRAPH").contains(last)
+              && secondLast != "GRAPH",
+            s"a sub-select inside $last { … } is not supported — join it at the group level")
+          out += inner
+          for (k <- i to endIdx) sb.setCharAt(k, ' ')
+        }
+        i = endIdx + 1
+      } else i += 1
+    }
+    (out.toSeq, sb.toString)
+  }
+
+  /** One UNION branch: sub-selects and EXISTS / NOT EXISTS blocks out
+    * first, then OPTIONAL and MINUS blocks (so their FILTERs stay
+    * inside), then GRAPH blocks, then BINDs and group-level FILTERs,
+    * then the remaining required patterns; compile base join →
+    * inner-join subqueries → left-join optionals → anti-join minus
+    * groups → semi-join EXISTS → anti-join NOT EXISTS → VALUES →
+    * BIND columns → apply filters. (BIND applies after the group's
+    * joins and before its FILTERs — a filter can reference a bound
+    * alias; a BIND referencing a variable from a LATER pattern in the
+    * same group works too, a deliberate simplification of SPARQL's
+    * position-sensitive BIND scope.)
+    */
+  private def compileGroup(rawQuads: DataFrame, group: String): DataFrame = {
+    // a branch that IS a bare sub-select (its braces were stripped by
+    // the UNION splitter) re-enters select() whole — patterns can never
+    // start with the SELECT keyword, so the dispatch is unambiguous.
+    // The full-head match (not just the keyword) keeps a malformed
+    // 'SELECT' without WHERE out of an infinite select() recursion.
+    if (SelectHeadRe.pattern.matcher(maskLiterals(group)._1).matches())
+      return select(rawQuads, group)
     // literal masking: the block-extraction regexes must never fire on
     // keyword lookalikes INSIDE a quoted literal ("MINUS { x }" as an
     // object is data); every extracted sub-block is unmasked before its
     // own parse
     val (maskedGroup, lits) = maskLiterals(group)
     def um(x: String): String = unmask(x, lits)
-    val optionals = OptionalRe.findAllMatchIn(maskedGroup).map(m => um(m.group(1))).toSeq
-    val gv = OptionalRe.replaceAllIn(maskedGroup, " ")
+    val (subqueries, gsub) = extractSubqueries(maskedGroup)
+    // bridge path closures for THIS branch only (sub-selects re-enter
+    // select() against the raw quads and bridge their own paths —
+    // bridging the raw table once per scope keeps the virtual closure
+    // triples single-counted)
+    val quads = bridgePaths(rawQuads, um(gsub))
+    val notExistsGroups = NotExistsRe.findAllMatchIn(gsub).map(m => um(m.group(1))).toSeq
+    val gne = NotExistsRe.replaceAllIn(gsub, " ")
+    val existsGroups = ExistsRe.findAllMatchIn(gne).map(m => um(m.group(1))).toSeq
+    val gex = ExistsRe.replaceAllIn(gne, " ")
+    val optionals = OptionalRe.findAllMatchIn(gex).map(m => um(m.group(1))).toSeq
+    val gv = OptionalRe.replaceAllIn(gex, " ")
     val valuesBlocks = ValuesRe.findAllMatchIn(gv).map { m =>
       val vals = """"[^"]*"|\S+""".r.findAllIn(um(m.group(2))).toSeq.map {
         case t if t.startsWith("<") || t.startsWith("\"") =>
@@ -850,7 +1268,8 @@ object GraphOps {
     val graphBlocks = GraphBlockRe.findAllMatchIn(g1)
       .map(m => (parseTerm(um(m.group(1))), um(m.group(2)))).toSeq
     val g2 = GraphBlockRe.replaceAllIn(g1, " ")
-    val (filters, g3) = extractFilters(g2, um)
+    val (binds, g2b) = extractBinds(g2, um)
+    val (filters, g3) = extractFilters(g2b, um)
     val required = um(g3).trim match {
       case "" => Seq.empty[TriplePattern]
       case rest => parsePatterns(rest)
@@ -859,8 +1278,18 @@ object GraphOps {
       graphBlocks.flatMap { case (gt, block) =>
         parsePatterns(block).map(p => (Some(gt): Option[Term], p))
       }
-    require(mixed.nonEmpty, s"UNION branch has no patterns: '$group'")
-    val base = bgpMixed(quads, mixed)
+    val subFrames = subqueries.map(sq => select(rawQuads, um(sq)))
+    def joinShared(acc: DataFrame, next: DataFrame, what: String): DataFrame = {
+      val shared = acc.columns.toSet.intersect(next.columns.toSet).toSeq.sorted
+      require(shared.nonEmpty, s"$what shares no variable with its branch")
+      acc.join(next, shared)
+    }
+    require(mixed.nonEmpty || subFrames.nonEmpty,
+      s"UNION branch has no patterns: '$group'")
+    val base =
+      if (mixed.nonEmpty)
+        subFrames.foldLeft(bgpMixed(quads, mixed))(joinShared(_, _, "sub-select"))
+      else subFrames.reduce(joinShared(_, _, "sub-select"))
     val withOptionals = optionals.foldLeft(base) { (acc, ob) =>
       val q = parseQuery(ob)
       val opt = applyFilters(bgp(quads, q.patterns), q.filters)
@@ -877,10 +1306,31 @@ object GraphOps {
         s"MINUS group '$mb' shares no variable with its branch")
       acc.join(m, shared, "left_anti")
     }
-    val withValues = valuesBlocks.foldLeft(withMinus) { case (acc, (v, vals)) =>
+    val withExists = existsGroups.foldLeft(withMinus) { (acc, eb) =>
+      val q = parseQuery(eb)
+      val e = applyFilters(bgp(quads, q.patterns), q.filters)
+      val shared = acc.columns.toSet.intersect(e.columns.toSet).toSeq.sorted
+      require(shared.nonEmpty,
+        s"FILTER EXISTS group '$eb' shares no variable with its branch")
+      acc.join(e, shared, "left_semi")
+    }
+    val withNotExists = notExistsGroups.foldLeft(withExists) { (acc, nb) =>
+      val q = parseQuery(nb)
+      val n = applyFilters(bgp(quads, q.patterns), q.filters)
+      val shared = acc.columns.toSet.intersect(n.columns.toSet).toSeq.sorted
+      require(shared.nonEmpty,
+        s"FILTER NOT EXISTS group '$nb' shares no variable with its branch")
+      acc.join(n, shared, "left_anti")
+    }
+    val withValues = valuesBlocks.foldLeft(withNotExists) { case (acc, (v, vals)) =>
       bgpValues(acc, v, vals)
     }
-    applyFilters(withValues, filters)
+    val withBinds = binds.foldLeft(withValues) { (acc, b) =>
+      require(!acc.columns.contains(b.alias),
+        s"BIND alias ?${b.alias} is already bound in this branch")
+      acc.withColumn(b.alias, b.expr.column)
+    }
+    applyFilters(withBinds, filters)
   }
 
   /** SPARQL UNION over pattern groups: each group compiles independently
@@ -908,6 +1358,9 @@ object GraphOps {
     def c(t: Term): Column = t match {
       case Var(n) => col(n)
       case Const(v) => lit(v)
+      case ConstIn(vs) => throw new IllegalArgumentException(
+        s"a CONSTRUCT template term must be a variable or constant, not an " +
+          s"alternation ${vs.mkString("|")}")
     }
     template.map(p =>
         bindings.select(c(p.s).as("subj"), c(p.p).as("pred"), c(p.o).as("obj")))

@@ -724,6 +724,147 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "every member of a cluster must land in the same trained cell")
   }
 
+  test("FILTER: boolean composition && / || / ! with parens") {
+    val kg = quads(
+      ("n1", "p:rk", "0", XsdInteger), ("n2", "p:rk", "2", XsdInteger),
+      ("n3", "p:rk", "4", XsdInteger), ("n4", "p:rk", "9", XsdInteger))
+    val got = GraphOps.select(kg,
+      """?n <p:rk> ?rk . FILTER(?rk >= 4 || (?rk < 1 && !(?n = "n9")))""")
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("n1", "n3", "n4"))
+  }
+
+  test("FILTER: REGEX / STRSTARTS / CONTAINS / STRLEN string predicates") {
+    val kg = quads(
+      ("n1", "p:name", "ALGERIA", XsdString), ("n2", "p:name", "ARGENTINA", XsdString),
+      ("n3", "p:name", "CHINA", XsdString), ("n4", "p:name", "JAPAN", XsdString))
+    def names(filter: String): Set[String] =
+      GraphOps.select(kg, s"?n <p:name> ?name . FILTER($filter)")
+        .collect().map(_.getString(1)).toSet
+    assert(names("""REGEX(?name, "^A.*A$")""") == Set("ALGERIA", "ARGENTINA"))
+    assert(names("""REGEX(?name, "^a.*a$", "i")""") == Set("ALGERIA", "ARGENTINA"))
+    assert(names("""STRSTARTS(?name, "CH")""") == Set("CHINA"))
+    assert(names("""CONTAINS(?name, "PA")""") == Set("JAPAN"))
+    assert(names("""STRLEN(?name) <= 5""") == Set("CHINA", "JAPAN"))
+    assert(names("""STRENDS(?name, "INA") && STRLEN(?name) > 5""") == Set("ARGENTINA"))
+  }
+
+  test("FILTER: arithmetic expressions, reversed comparison, IRI operand") {
+    val kg = quads(
+      ("n1", "p:a", "3", XsdInteger), ("n2", "p:a", "7", XsdInteger),
+      ("n1", "p:ref", "urn:x", ""), ("n2", "p:ref", "urn:y", ""))
+    val arith = GraphOps.select(kg,
+      """?n <p:a> ?a . FILTER((?a * 2) + 1 > 10)""").collect().map(_.getString(1)).toSet
+    assert(arith == Set("n2"))
+    val reversed = GraphOps.select(kg,
+      """?n <p:a> ?a . FILTER(5 < ?a)""").collect().map(_.getString(1)).toSet
+    assert(reversed == Set("n2"))
+    val iri = GraphOps.select(kg,
+      """?n <p:ref> ?o . FILTER(?o = <urn:x>)""").collect().map(_.getString(0)).toSet
+    assert(iri == Set("n1"))
+  }
+
+  test("FILTER: BOUND over an OPTIONAL variable; !BOUND is the negation idiom") {
+    val kg = quads(
+      ("n1", "p:name", "a", XsdString), ("n2", "p:name", "b", XsdString),
+      ("n1", "p:note", "x", XsdString))
+    val unbound = GraphOps.select(kg,
+      """?n <p:name> ?nm . OPTIONAL { ?n <p:note> ?note } . FILTER(!BOUND(?note))""")
+      .collect().map(_.getString(0)).toSet
+    assert(unbound == Set("n2"))
+    val bound = GraphOps.select(kg,
+      """?n <p:name> ?nm . OPTIONAL { ?n <p:note> ?note } . FILTER(BOUND(?note))""")
+      .collect().map(_.getString(0)).toSet
+    assert(bound == Set("n1"))
+  }
+
+  test("FILTER EXISTS keeps rows with a compatible match; NOT EXISTS drops them") {
+    val kg = quads(
+      ("n1", "p:name", "a", XsdString), ("n2", "p:name", "b", XsdString),
+      ("s1", "p:in", "n1", ""))
+    val exists = GraphOps.select(kg,
+      """?n <p:name> ?nm . FILTER EXISTS { ?s <p:in> ?n }""")
+      .collect().map(_.getString(0)).toSet
+    assert(exists == Set("n1"))
+    val notExists = GraphOps.select(kg,
+      """?n <p:name> ?nm . FILTER NOT EXISTS { ?s <p:in> ?n }""")
+      .collect().map(_.getString(0)).toSet
+    assert(notExists == Set("n2"))
+  }
+
+  test("BIND: CONCAT and arithmetic aliases; FILTER sees the alias; rebind rejected") {
+    val kg = quads(
+      ("n1", "p:name", "a", XsdString), ("n1", "p:rk", "2", XsdInteger),
+      ("n2", "p:name", "b", XsdString), ("n2", "p:rk", "4", XsdInteger))
+    val got = GraphOps.select(kg,
+      """SELECT ?label ?score WHERE {
+        |  ?n <p:name> ?nm . ?n <p:rk> ?rk .
+        |  BIND(CONCAT("x-", ?nm) AS ?label) . BIND(?rk * 10 + ?rk AS ?score) .
+        |  FILTER(?score >= 30)
+        |} ORDER BY ?label""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq == Seq(("x-b", 44.0)))
+    val err = intercept[IllegalArgumentException] {
+      GraphOps.select(kg, """?n <p:name> ?nm . BIND("z" AS ?nm)""")
+    }
+    assert(err.getMessage.contains("already bound"))
+    val noAs = intercept[IllegalArgumentException] {
+      GraphOps.select(kg, """?n <p:name> ?nm . BIND(?nm)""")
+    }
+    assert(noAs.getMessage.contains("BIND"))
+  }
+
+  test("GROUP_CONCAT sorts deterministically and honors SEPARATOR; SAMPLE is min") {
+    val kg = quads(
+      ("n1", "p:in", "r1", ""), ("n2", "p:in", "r1", ""), ("n3", "p:in", "r2", ""))
+    val got = GraphOps.select(kg,
+      """SELECT ?r (GROUP_CONCAT(?n; SEPARATOR="|") AS ?members)
+        |       (SAMPLE(?n) AS ?first) WHERE {
+        |  ?n <p:in> ?r
+        |} GROUP BY ?r ORDER BY ?r""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq(("r1", "n1|n2", "n1"), ("r2", "n3", "n3")))
+  }
+
+  test("subquery: { SELECT … } compiles recursively and joins on shared variables") {
+    val kg = quads(
+      ("n1", "p:name", "a", XsdString), ("n2", "p:name", "b", XsdString),
+      ("c1", "p:in", "n1", ""), ("c2", "p:in", "n1", ""), ("c3", "p:in", "n2", ""))
+    val got = GraphOps.select(kg,
+      """SELECT ?name ?n_members WHERE {
+        |  ?n <p:name> ?name .
+        |  { SELECT ?n (COUNT(*) AS ?n_members) WHERE { ?c <p:in> ?n } GROUP BY ?n }
+        |} ORDER BY ?name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a", 2L), ("b", 1L)))
+    // a branch that is ONLY a subquery works too (modifiers then apply outside)
+    val alone = GraphOps.select(kg,
+      """SELECT ?n_members WHERE {
+        |  { SELECT ?n (COUNT(*) AS ?n_members) WHERE { ?c <p:in> ?n } GROUP BY ?n }
+        |} ORDER BY ?n_members LIMIT 1""".stripMargin)
+      .collect().map(_.getLong(0))
+    assert(alone.toSeq == Seq(1L))
+    val inOptional = intercept[IllegalArgumentException] {
+      GraphOps.select(kg,
+        """?n <p:name> ?name . OPTIONAL { SELECT ?n WHERE { ?c <p:in> ?n } }""")
+    }
+    assert(inOptional.getMessage.contains("not supported"))
+  }
+
+  test("FILTER literal traps: expression lookalikes inside literals stay data") {
+    val kg = quads(
+      ("n1", "p:name", "FILTER(?x < 5)", XsdString),
+      ("n2", "p:name", "b && c", XsdString))
+    val got = GraphOps.select(kg,
+      """?n <p:name> ?nm . FILTER(CONTAINS(?nm, "&&") || ?nm = "FILTER(?x < 5)")""")
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("n1", "n2"))
+    val single = intercept[IllegalArgumentException] {
+      GraphOps.select(kg, """?n <p:name> ?nm . FILTER(?nm = "a" & ?nm = "b")""")
+    }
+    assert(single.getMessage.contains("&&"))
+  }
+
   test("ivfTopK agrees with brute force when probing all cells") {
     val sp = spark; import sp.implicits._
     val rng = new scala.util.Random(42)
