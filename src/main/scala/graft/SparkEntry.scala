@@ -749,7 +749,7 @@ object SparkEntry {
     GraphOps.select(kgTriples(spark, dir),
       """SELECT ?n ?name WHERE {
         |  ?n <urn:dm:nation#n_name> ?name . ?n <urn:dm:nation#n_regionkey> ?rk .
-        |  FILTER(?rk >= 3 || (?rk < 1 && !(?name = "ALGERIA")))
+        |  FILTER(?rk >= 3 || (?rk < 1 && !(?name = "NATION_10")))
         |} ORDER BY ?n""".stripMargin)
 
   /** String FILTER functions (round 5): REGEX (find semantics, anchored
@@ -760,9 +760,9 @@ object SparkEntry {
     GraphOps.select(kgTriples(spark, dir),
       """SELECT ?n ?name WHERE {
         |  ?n <urn:dm:nation#n_name> ?name .
-        |  FILTER(REGEX(?name, "^[A-I].*A$")
-        |         || (CONTAINS(?name, "AN") && STRLEN(?name) <= 6)
-        |         || STRSTARTS(?name, "UNI"))
+        |  FILTER(REGEX(?name, "^NATION_1[0-9]$")
+        |         || (CONTAINS(?name, "_2") && STRLEN(?name) <= 8)
+        |         || STRSTARTS(?name, "NATION_0"))
         |} ORDER BY ?n""".stripMargin)
 
   /** FILTER EXISTS (round 5): nations that have at least one supplier —
@@ -809,6 +809,42 @@ object SparkEntry {
         |       (SAMPLE(?nm) AS ?first_name) WHERE {
         |  ?n <urn:dm:nation#ref-n_regionkey> ?r . ?n <urn:dm:nation#n_name> ?nm
         |} GROUP BY ?r ORDER BY ?r""".stripMargin)
+
+  /** PREFIX declarations + the `a` (rdf:type) keyword (round 5), over
+    * the KG the JSON-LD pipeline itself constructs: every CURIE in the
+    * query expands against the declared vocabulary namespace, and the
+    * dispatching [[GraphOps.query]] entry point sees the PREFIX header.
+    */
+  def kgPrefixType(spark: SparkSession, dir: String): DataFrame = {
+    val (pipe, _) = runPipeline(spark, Corpus.corpusFlat(spark, dir))
+    GraphOps.query(pipelineQuadsDf(pipe),
+      s"""PREFIX v: <$V>
+         |SELECT ?lang (COUNT(*) AS ?n_docs) WHERE {
+         |  ?d a v:Document . ?d v:lang ?lang
+         |} GROUP BY ?lang ORDER BY ?lang""".stripMargin)
+  }
+
+  /** FILTER IN / NOT IN (round 5): both clauses load-bearing — region
+    * keys restricted to an inline list, two nations excluded by name.
+    */
+  def kgFilterIn(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """SELECT ?n ?name WHERE {
+        |  ?n <urn:dm:nation#n_name> ?name . ?n <urn:dm:nation#n_regionkey> ?rk .
+        |  FILTER(?rk IN (1, 3)) . FILTER(?name NOT IN ("NATION_1", "NATION_13"))
+        |} ORDER BY ?n""".stripMargin)
+
+  /** Negated property set (round 5): `!(<a>|<b>)` matches every
+    * predicate EXCEPT the listed ones — nation 1's triples that are
+    * neither its name nor its region reference, via one pushable
+    * NOT-IN predicate filter (the predicate itself stays unbound, per
+    * the spec).
+    */
+  def kgPredNegation(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """SELECT (COUNT(*) AS ?n_other) WHERE {
+        |  <urn:dm:nation/1> !(<urn:dm:nation#n_name>|<urn:dm:nation#ref-n_regionkey>) ?o
+        |}""".stripMargin)
 
   /** Subquery (round 5): SPARQL 1.1 `{ SELECT … }` — per-nation customer
     * counts aggregated in a sub-select, joined to the outer name pattern
@@ -883,6 +919,9 @@ object SparkEntry {
     "kg_bind" -> (kgBind(_, _)),
     "kg_group_concat" -> (kgGroupConcat(_, _)),
     "kg_subquery" -> (kgSubquery(_, _)),
+    "kg_prefix_type" -> (kgPrefixType(_, _)),
+    "kg_filter_in" -> (kgFilterIn(_, _)),
+    "kg_pred_negation" -> (kgPredNegation(_, _)),
     "kg_union_filter_lt" -> (kgUnionFilterLt(_, _)),
     "kg_minus" -> (kgMinus(_, _)),
     "kg_values" -> (kgValues(_, _)),
@@ -1259,15 +1298,15 @@ object SparkEntry {
     "kg_filter_bool" ->
       """SELECT 'urn:dm:nation/'||n_nationkey AS n, n_name AS name
         |FROM nation
-        |WHERE n_regionkey >= 3 OR (n_regionkey < 1 AND NOT (n_name = 'ALGERIA'))
+        |WHERE n_regionkey >= 3 OR (n_regionkey < 1 AND NOT (n_name = 'NATION_10'))
         |ORDER BY n""".stripMargin,
     // string FILTER functions: REGEX / CONTAINS+STRLEN / STRSTARTS
     "kg_filter_str" ->
       """SELECT 'urn:dm:nation/'||n_nationkey AS n, n_name AS name
         |FROM nation
-        |WHERE regexp_matches(n_name, '^[A-I].*A$')
-        |   OR (contains(n_name, 'AN') AND length(n_name) <= 6)
-        |   OR starts_with(n_name, 'UNI')
+        |WHERE regexp_matches(n_name, '^NATION_1[0-9]$')
+        |   OR (contains(n_name, '_2') AND length(n_name) <= 8)
+        |   OR starts_with(n_name, 'NATION_0')
         |ORDER BY n""".stripMargin,
     // FILTER EXISTS: semi-join — no duplication however many suppliers
     "kg_exists" ->
@@ -1293,6 +1332,21 @@ object SparkEntry {
         |  string_agg(n_name, '|' ORDER BY n_name) AS names,
         |  min(n_name) AS first_name
         |FROM nation GROUP BY n_regionkey ORDER BY r""".stripMargin,
+    // PREFIX + `a`: every doc carries exactly one rdf:type and one lang
+    // triple, so the type-gated per-lang counts are the lang histogram
+    "kg_prefix_type" ->
+      "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang",
+    // IN / NOT IN — both clauses discriminate
+    "kg_filter_in" ->
+      """SELECT 'urn:dm:nation/'||n_nationkey AS n, n_name AS name FROM nation
+        |WHERE n_regionkey IN (1, 3) AND n_name NOT IN ('NATION_1', 'NATION_13')
+        |ORDER BY n""".stripMargin,
+    // negated property set: NOT-IN over the predicate column
+    "kg_pred_negation" ->
+      s"""WITH $kgQuadsCte
+         |SELECT count(*) AS n_other FROM kg
+         |WHERE subj = 'urn:dm:nation/1'
+         |  AND pred NOT IN ('urn:dm:nation#n_name', 'urn:dm:nation#ref-n_regionkey')""".stripMargin,
     // subquery: aggregate inside, join outside on the shared variable
     "kg_subquery" ->
       """SELECT n_name AS name, cnt AS n_customers FROM nation

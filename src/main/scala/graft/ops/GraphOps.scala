@@ -44,6 +44,14 @@ object GraphOps {
     * compiles to a pushable IN filter, no union of branches needed.
     */
   final case class ConstIn(values: Seq[String]) extends Term
+  /** SPARQL negated property set `!<p>` / `!(<a>|<b>)`: matches any
+    * predicate EXCEPT the listed constants — a pushable NOT-IN filter.
+    * The predicate is not bound (per the spec, a negated set never
+    * introduces a variable).
+    */
+  final case class ConstNotIn(values: Seq[String]) extends Term
+
+  val RdfTypeIri = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
   final case class TriplePattern(s: Term, p: Term, o: Term)
 
@@ -162,6 +170,7 @@ object GraphOps {
       val constFilter = terms.collect {
         case (c, Const(v)) => col(c) === lit(v)
         case (c, ConstIn(vs)) => col(c).isin(vs: _*)
+        case (c, ConstNotIn(vs)) => !col(c).isin(vs: _*)
       }.reduceOption(_ && _).getOrElse(lit(true))
       val vars = terms.collect { case (c, Var(n)) => (c, n) }
       val eqFilter = vars.groupBy(_._2).values.collect {
@@ -228,7 +237,9 @@ object GraphOps {
     * before `<` or `^<`) — a `/` inside an IRI like `<urn:dm:nation/1>`
     * never splits.
     */
-  private def expandPredicate(s: Term, predToken: String, o: Term): Seq[TriplePattern] = {
+  private def expandPredicate(s: Term, predToken0: String, o: Term): Seq[TriplePattern] = {
+    // SPARQL's `a` keyword — rdf:type, predicate position only
+    val predToken = if (predToken0 == "a") "<" + RdfTypeIri + ">" else predToken0
     val segs = predToken.split("(?<=>[+*?]?)/(?=\\^?<)").toSeq
     def hop(sub: Term, seg: String, obj: Term): TriplePattern =
       if (seg.startsWith("^")) TriplePattern(obj, parsePathSegment(seg.drop(1)), sub)
@@ -252,6 +263,19 @@ object GraphOps {
     * alternation are rejected, not guessed).
     */
   private def parsePathSegment(t: String): Term = {
+    // negated property set: `!<p>` or `!(<a>|<b>)` — plain IRIs only
+    if (t.startsWith("!")) {
+      var inner = t.drop(1)
+      if (inner.startsWith("(") && inner.endsWith(")")) inner = inner.drop(1).dropRight(1)
+      val values = inner.split("\\|").toSeq.map { a =>
+        parseTerm(a) match {
+          case Const(v) => v
+          case other => throw new IllegalArgumentException(
+            s"a negated property set needs plain IRIs, got '$a' in '$t'")
+        }
+      }
+      return ConstNotIn(values)
+    }
     // the lookbehind admits closure suffixes so '<a>+|<b>' SPLITS and the
     // '<a>+' alternative is then loudly rejected below (without the wider
     // lookbehind the whole token silently parsed as one bizarre IRI)
@@ -525,11 +549,29 @@ object GraphOps {
           StrTest(f, target, arg, ignoreCase)
         case _ =>
           val l = parseValue()
-          val op = next()
-          require(Set("=", "!=", "<", "<=", ">", ">=").contains(op),
-            s"expected a comparison operator, got '${if (op.isEmpty) "<end>" else op}'")
-          val r = parseValue()
-          mkCmp(l, op, r)
+          val t = peek.toUpperCase
+          if (t == "IN" || t == "NOT") {
+            // SPARQL IN / NOT IN: sugar for an =-chain disjunction, so
+            // each member keeps [[mkCmp]]'s numeric-vs-lexical semantics
+            val negated = t == "NOT"
+            next()
+            if (negated) {
+              val k = next()
+              require(k.equalsIgnoreCase("IN"), s"expected IN after NOT, got '$k'")
+            }
+            expect("(")
+            val vals = scala.collection.mutable.ArrayBuffer(parseValue())
+            while (peek == ",") { next(); vals += parseValue() }
+            expect(")")
+            val anyEq = vals.map(v => mkCmp(l, "=", v): Constraint).reduce(OrC(_, _))
+            if (negated) NotC(anyEq) else anyEq
+          } else {
+            val op = next()
+            require(Set("=", "!=", "<", "<=", ">", ">=").contains(op),
+              s"expected a comparison operator, got '${if (op.isEmpty) "<end>" else op}'")
+            val r = parseValue()
+            mkCmp(l, op, r)
+          }
       }
     }
 
@@ -785,7 +827,8 @@ object GraphOps {
     * The sibling query forms: [[constructQuery]], [[askQuery]],
     * [[describeQuery]], or the keyword-dispatching [[query]].
     */
-  def select(quads: DataFrame, text: String): DataFrame = {
+  def select(quads: DataFrame, text0: String): DataFrame = {
+    val text = expandPrefixes(text0)
     val (masked, lits) = maskLiterals(text)
     masked match {
       case SelectHeadRe(head, rest) =>
@@ -803,7 +846,8 @@ object GraphOps {
     * plain pattern block instantiated per solution via [[construct]]
     * (set semantics: output triples are distinct).
     */
-  def constructQuery(quads: DataFrame, text: String): DataFrame = {
+  def constructQuery(quads: DataFrame, text0: String): DataFrame = {
+    val text = expandPrefixes(text0)
     val (masked, lits) = maskLiterals(text)
     val afterKeyword = masked match {
       case ConstructHeadRe(rest) => rest
@@ -827,7 +871,8 @@ object GraphOps {
     * like [[ask]] (short-circuits at the first solution) — unless the
     * body uses `+`/`*` paths, whose bridging is eager.
     */
-  def askQuery(quads: DataFrame, text: String): DataFrame = {
+  def askQuery(quads: DataFrame, text0: String): DataFrame = {
+    val text = expandPrefixes(text0)
     val (masked, lits) = maskLiterals(text)
     val rest = masked match {
       case AskHeadRe(r) => r
@@ -844,23 +889,58 @@ object GraphOps {
   /** `DESCRIBE <iri>` through the text grammar — the symmetric concise
     * bounded description of [[describe]].
     */
-  def describeQuery(quads: DataFrame, text: String): DataFrame = text.trim match {
-    case DescribeHeadRe(iri) => describe(quads, iri)
-    case _ => throw new IllegalArgumentException(
-      s"describeQuery expects 'DESCRIBE <iri>', got '$text'")
-  }
+  def describeQuery(quads: DataFrame, text0: String): DataFrame =
+    expandPrefixes(text0).trim match {
+      case DescribeHeadRe(iri) => describe(quads, iri)
+      case _ => throw new IllegalArgumentException(
+        s"describeQuery expects 'DESCRIBE <iri>', got '$text0'")
+    }
 
   /** One entry point for every query form — dispatches on the leading
     * keyword: `SELECT …` / bare pattern block → [[select]],
     * `CONSTRUCT …` → [[constructQuery]], `ASK …` → [[askQuery]],
     * `DESCRIBE <iri>` → [[describeQuery]].
     */
-  def query(quads: DataFrame, text: String): DataFrame = {
+  def query(quads: DataFrame, text0: String): DataFrame = {
+    // expand here too (not just in the dispatched form): the dispatch
+    // regexes must see the query FORM keyword, not a PREFIX header
+    val text = expandPrefixes(text0)
     val (masked, _) = maskLiterals(text)
     if (ConstructHeadRe.pattern.matcher(masked).matches()) constructQuery(quads, text)
     else if (AskHeadRe.pattern.matcher(masked).matches()) askQuery(quads, text)
     else if (DescribeHeadRe.pattern.matcher(text.trim).matches()) describeQuery(quads, text)
     else select(quads, text)
+  }
+
+  private val PrefixDeclRe = """(?is)^\s*PREFIX\s+(\w+):\s*<([^<>\s]*)>""".r
+
+  /** Strip leading `PREFIX name: <iri>` declarations and expand every
+    * `name:local` CURIE in the remaining text to `<irilocal>`. Literal-
+    * and IRI-masked before the rewrite, so a literal `"dm:x"` or an IRI
+    * containing a declared prefix stays data. Local names follow the
+    * word/`#`/`.`/`-` shape (no `/`, so a path sequence `dm:a/dm:b`
+    * splits into two CURIEs, exactly as SPARQL's PN_LOCAL would); a
+    * closure suffix after the CURIE (`dm:parent+`) survives because the
+    * local-name class excludes `+*?`.
+    */
+  def expandPrefixes(text: String): String = {
+    val decls = scala.collection.mutable.LinkedHashMap[String, String]()
+    var rest = text
+    var m = PrefixDeclRe.findFirstMatchIn(rest)
+    while (m.isDefined) {
+      decls += m.get.group(1) -> m.get.group(2)
+      rest = rest.substring(m.get.end)
+      m = PrefixDeclRe.findFirstMatchIn(rest)
+    }
+    if (decls.isEmpty) return text
+    val (litMasked, lits) = maskLiterals(rest)
+    val (masked, iris) = maskIris(litMasked)
+    val curieRe = ("""(?<![\w:<])(""" +
+      decls.keys.map(java.util.regex.Pattern.quote).mkString("|") +
+      """):([\w#.\-]*[\w#\-])""").r
+    val expanded = curieRe.replaceAllIn(masked, mm =>
+      java.util.regex.Matcher.quoteReplacement("<" + decls(mm.group(1)) + mm.group(2) + ">"))
+    unmask(unmaskIris(expanded, iris), lits)
   }
 
   private val SelectHeadRe = """(?is)^\s*SELECT\b(.*?)\bWHERE\b(.*)$""".r
@@ -1358,9 +1438,8 @@ object GraphOps {
     def c(t: Term): Column = t match {
       case Var(n) => col(n)
       case Const(v) => lit(v)
-      case ConstIn(vs) => throw new IllegalArgumentException(
-        s"a CONSTRUCT template term must be a variable or constant, not an " +
-          s"alternation ${vs.mkString("|")}")
+      case other => throw new IllegalArgumentException(
+        s"a CONSTRUCT template term must be a variable or constant, got $other")
     }
     template.map(p =>
         bindings.select(c(p.s).as("subj"), c(p.p).as("pred"), c(p.o).as("obj")))

@@ -865,6 +865,57 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(single.getMessage.contains("&&"))
   }
 
+  test("PREFIX + a: CURIEs expand everywhere; literal lookalikes stay data") {
+    val kg = quads(
+      ("d1", GraphOps.RdfTypeIri, "urn:v:Document", ""),
+      ("d2", GraphOps.RdfTypeIri, "urn:v:Image", ""),
+      ("d1", "urn:v:lang", "en", XsdString),
+      ("d3", "urn:v:lang", "v:x", XsdString))
+    val typed = GraphOps.query(kg,
+      """PREFIX v: <urn:v:>
+        |SELECT ?d WHERE { ?d a v:Document }""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(typed == Seq("d1"))
+    // a CURIE lookalike inside a literal must stay data, and a CURIE in
+    // OBJECT position must expand (the rewrite is text-wide, not
+    // predicate-only)
+    val lit = GraphOps.select(kg,
+      """PREFIX v: <urn:v:>
+        |SELECT ?d WHERE { ?d <urn:v:lang> "v:x" }""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(lit == Seq("d3"))
+    val obj = GraphOps.select(kg,
+      """PREFIX v: <urn:v:>
+        |PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        |SELECT ?d WHERE { ?d rdf:type v:Image }""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(obj == Seq("d2"))
+  }
+
+  test("FILTER IN / NOT IN: =-chain semantics over numbers and strings") {
+    val kg = quads(
+      ("n1", "p:rk", "1", XsdInteger), ("n2", "p:rk", "2", XsdInteger),
+      ("n3", "p:rk", "3", XsdInteger))
+    val in = GraphOps.select(kg, """?n <p:rk> ?rk . FILTER(?rk IN (1, 3))""")
+      .collect().map(_.getString(0)).toSet
+    assert(in == Set("n1", "n3"))
+    val notIn = GraphOps.select(kg, """?n <p:rk> ?rk . FILTER(?n NOT IN ("n1", "n9"))""")
+      .collect().map(_.getString(0)).toSet
+    assert(notIn == Set("n2", "n3"))
+  }
+
+  test("negated property set: !<p> and !(<a>|<b>) match all other predicates, unbound") {
+    val kg = quads(
+      ("s", "p:a", "1", XsdInteger), ("s", "p:b", "2", XsdInteger),
+      ("s", "p:c", "3", XsdInteger))
+    val one = GraphOps.select(kg, """?s !<p:a> ?o""")
+    assert(one.columns.toSeq == Seq("o", "s"), "the negated predicate must not bind")
+    assert(one.collect().map(_.getString(0)).toSet == Set("2", "3"))
+    val two = GraphOps.select(kg, """?s !(<p:a>|<p:c>) ?o""")
+      .collect().map(_.getString(0)).toSet
+    assert(two == Set("2"))
+  }
+
   test("ivfTopK agrees with brute force when probing all cells") {
     val sp = spark; import sp.implicits._
     val rng = new scala.util.Random(42)
