@@ -846,6 +846,26 @@ object SparkEntry {
         |  <urn:dm:nation/1> !(<urn:dm:nation#n_name>|<urn:dm:nation#ref-n_regionkey>) ?o
         |}""".stripMargin)
 
+  /** Term introspection (round 5): DATATYPE / isIRI / isLiteral /
+    * isNumeric over the tracked per-binding datatype — three UNION
+    * branches over nation 1's triples, each keeping a different term
+    * kind (each filter EXCLUDES rows, so a vacuously-true test would
+    * hash-mismatch).
+    */
+  def kgTermTests(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      s"""SELECT ?kind (COUNT(*) AS ?n) WHERE {
+         |  { <urn:dm:nation/1> !<urn:x:none> ?o . FILTER(isIRI(?o)) .
+         |    BIND("iri" AS ?kind) }
+         |  UNION
+         |  { <urn:dm:nation/1> !<urn:x:none> ?o . FILTER(isLiteral(?o)) .
+         |    BIND("lit" AS ?kind) }
+         |  UNION
+         |  { <urn:dm:nation/1> !<urn:x:none> ?o .
+         |    FILTER(isNumeric(?o) && DATATYPE(?o) = <$XsdInteger>) .
+         |    BIND("num" AS ?kind) }
+         |} GROUP BY ?kind ORDER BY ?kind""".stripMargin)
+
   /** Subquery (round 5): SPARQL 1.1 `{ SELECT … }` — per-nation customer
     * counts aggregated in a sub-select, joined to the outer name pattern
     * on the shared nation variable.
@@ -922,6 +942,7 @@ object SparkEntry {
     "kg_prefix_type" -> (kgPrefixType(_, _)),
     "kg_filter_in" -> (kgFilterIn(_, _)),
     "kg_pred_negation" -> (kgPredNegation(_, _)),
+    "kg_term_tests" -> (kgTermTests(_, _)),
     "kg_union_filter_lt" -> (kgUnionFilterLt(_, _)),
     "kg_minus" -> (kgMinus(_, _)),
     "kg_values" -> (kgValues(_, _)),
@@ -1347,6 +1368,15 @@ object SparkEntry {
          |SELECT count(*) AS n_other FROM kg
          |WHERE subj = 'urn:dm:nation/1'
          |  AND pred NOT IN ('urn:dm:nation#n_name', 'urn:dm:nation#ref-n_regionkey')""".stripMargin,
+    // term introspection: per-kind counts over nation 1's three triples
+    "kg_term_tests" ->
+      s"""WITH $kgQuadsCte,
+         |n1 AS (SELECT * FROM kg WHERE subj = 'urn:dm:nation/1')
+         |SELECT kind, n FROM (
+         |  SELECT 'iri' AS kind, count(*) AS n FROM n1 WHERE dt = ''
+         |  UNION ALL SELECT 'lit', count(*) FROM n1 WHERE dt <> ''
+         |  UNION ALL SELECT 'num', count(*) FROM n1 WHERE dt = '$XsdInteger'
+         |) ORDER BY kind""".stripMargin,
     // subquery: aggregate inside, join outside on the shared variable
     "kg_subquery" ->
       """SELECT n_name AS name, cnt AS n_customers FROM nation

@@ -153,19 +153,33 @@ object GraphOps {
     * cartesian product (valid SPARQL, rarely intended) — allowed, but the
     * caller sees it in the plan.
     */
-  def bgp(quads: DataFrame, patterns: Seq[TriplePattern]): DataFrame = {
+  def bgp(quads: DataFrame, patterns: Seq[TriplePattern],
+          trackDt: Boolean = false): DataFrame = {
     require(patterns.nonEmpty, "empty basic graph pattern")
     compilePatterns(quads,
-      patterns.map(p => Seq("subj" -> p.s, "pred" -> p.p, "obj" -> p.o)))
+      patterns.map(p => Seq("subj" -> p.s, "pred" -> p.p, "obj" -> p.o)), trackDt)
   }
+
+  /** Companion-column suffix for tracked datatypes: an object-position
+    * variable `?v` compiled with `trackDt` carries `v__dt` alongside —
+    * the term-introspection filters (DATATYPE / isIRI / isLiteral /
+    * isBlank / isNumeric) read it. [[compileBody]] drops these from
+    * query output.
+    */
+  private val DtSuffix = "__dt"
 
   /** Shared pattern→join compiler behind [[bgp]] and [[bgpQuads]]: each
     * pattern is a (column, term) list — constants become equality filters,
     * repeated variables become self-equality filters, variables project —
-    * and patterns fold into joins on shared variable names.
+    * and patterns fold into joins on shared variable names. With
+    * `trackDt`, object-position variables also project their quad's `dt`
+    * column as `v__dt` (two patterns binding the same object variable
+    * join on it too — same term, same datatype, so the extra key never
+    * changes the solution set).
     */
   private def compilePatterns(quads: DataFrame,
-                              patterns: Seq[Seq[(String, Term)]]): DataFrame = {
+                              patterns: Seq[Seq[(String, Term)]],
+                              trackDt: Boolean = false): DataFrame = {
     def one(terms: Seq[(String, Term)]): DataFrame = {
       val constFilter = terms.collect {
         case (c, Const(v)) => col(c) === lit(v)
@@ -179,7 +193,12 @@ object GraphOps {
             .reduce(_ && _)
       }.reduceOption(_ && _).getOrElse(lit(true))
       val proj = vars.groupBy(_._2).toSeq.sortBy(_._1)
-        .map { case (n, group) => col(group.head._1).as(n) }
+        .flatMap { case (n, group) =>
+          col(group.head._1).as(n) +:
+            (if (trackDt && group.exists(_._1 == "obj"))
+              Seq(col("dt").as(n + DtSuffix))
+            else Seq.empty)
+        }
       val base = quads.filter(constFilter && eqFilter)
       if (proj.isEmpty) base.select(lit(1).as("__matched")).limit(1)
       else base.select(proj: _*)
@@ -401,6 +420,30 @@ object GraphOps {
       }
     }
   }
+  /** `DATATYPE(?v)` — the tracked datatype IRI of an object-position
+    * variable (`""` for IRIs in this engine's quad storage). Needs the
+    * enclosing query compiled with datatype tracking — automatic in the
+    * text grammar; a variable never bound in object position resolves
+    * to a loud missing-column error.
+    */
+  final case class VEDatatype(variable: String) extends ValueExpr {
+    def column: Column = col(variable + DtSuffix)
+    override def stringTyped = true
+  }
+  /** Term-kind tests over the tracked datatype: `isIRI` / `isBlank`
+    * (dt `""`, split on the `_:` bnode prefix), `isLiteral` (dt non-
+    * empty), `isNumeric` (dt in the XSD numeric set).
+    */
+  final case class TermTest(func: String, variable: String) extends Constraint {
+    private def dt = col(variable + DtSuffix)
+    def column: Column = func match {
+      case "ISIRI" => dt === lit("") && !col(variable).startsWith("_:")
+      case "ISBLANK" => dt === lit("") && col(variable).startsWith("_:")
+      case "ISLITERAL" => dt =!= lit("")
+      case "ISNUMERIC" => dt.isin(XsdInteger, XsdDecimal, XsdDouble)
+    }
+  }
+
   /** Generalized comparison over value expressions (the simple var-vs-
     * constant / var-vs-var shapes stay [[VarFilter]]/[[VarCompare]]).
     */
@@ -533,6 +576,12 @@ object GraphOps {
           require(v.startsWith("?"), s"BOUND needs a ?variable, got '$v'")
           expect(")")
           BoundC(v.drop(1))
+        case f @ ("ISIRI" | "ISBLANK" | "ISLITERAL" | "ISNUMERIC") =>
+          next(); expect("(")
+          val v = next()
+          require(v.startsWith("?"), s"$f needs a ?variable, got '$v'")
+          expect(")")
+          TermTest(f, v.drop(1))
         case f @ ("REGEX" | "STRSTARTS" | "STRENDS" | "CONTAINS") =>
           next(); expect("(")
           val target = parseValue(); expect(",")
@@ -603,6 +652,12 @@ object GraphOps {
       } else if (t.nonEmpty && t.head.isDigit) {
         next(); VENum(t.toDouble)
       } else t.toUpperCase match {
+        case "DATATYPE" =>
+          next(); expect("(")
+          val v = next()
+          require(v.startsWith("?"), s"DATATYPE needs a ?variable, got '$v'")
+          expect(")")
+          VEDatatype(v.drop(1))
         case "STRLEN" => next(); expect("("); val e = parseValue(); expect(")"); VEStrLen(e)
         case "STR" => next(); expect("("); val e = parseValue(); expect(")"); VEStrCast(e)
         case "CONCAT" =>
@@ -743,11 +798,12 @@ object GraphOps {
     * matches quads in ANY graph — SPARQL's default-scope pattern inside
     * a query that also uses GRAPH blocks.
     */
-  def bgpMixed(quads: DataFrame, patterns: Seq[(Option[Term], TriplePattern)]): DataFrame = {
+  def bgpMixed(quads: DataFrame, patterns: Seq[(Option[Term], TriplePattern)],
+               trackDt: Boolean = false): DataFrame = {
     require(patterns.nonEmpty, "empty pattern list")
     compilePatterns(quads, patterns.map { case (g, p) =>
       Seq("subj" -> p.s, "pred" -> p.p, "obj" -> p.o) ++ g.map("graph" -> _)
-    })
+    }, trackDt)
   }
 
   private val OptionalRe = """(?i)OPTIONAL\s*\{([^{}]*)\}""".r
@@ -958,7 +1014,10 @@ object GraphOps {
   private def compileBody(quads: DataFrame, body: String): DataFrame = {
     val df = splitTopLevelUnion(body).map(compileGroup(quads, _))
       .reduce(_.unionByName(_, allowMissingColumns = true))
-    df.drop(df.columns.filter(_.startsWith(SeqVarPrefix)).toSeq: _*)
+    // drop internal columns: sequence-hop variables and tracked-datatype
+    // companions (`?x__dt` is reserved alongside `?__seqN`)
+    df.drop(df.columns.filter(c =>
+      c.startsWith(SeqVarPrefix) || c.endsWith(DtSuffix)).toSeq: _*)
   }
 
   /** Augment `quads` with the virtual closure triples for every `<p>+` /
@@ -1255,6 +1314,8 @@ object GraphOps {
 
   private val NotExistsRe = """(?i)FILTER\s+NOT\s+EXISTS\s*\{([^{}]*)\}""".r
   private val ExistsRe = """(?i)FILTER\s+EXISTS\s*\{([^{}]*)\}""".r
+  private val DtFuncRe =
+    """(?i)\b(?:DATATYPE|isIRI|isLiteral|isBlank|isNumeric)\s*\(""".r
 
   /** Extract top-level `{ SELECT … }` sub-select blocks from masked
     * text: each is compiled by a recursive [[select]] call and joined
@@ -1327,6 +1388,10 @@ object GraphOps {
     // bridging the raw table once per scope keeps the virtual closure
     // triples single-counted)
     val quads = bridgePaths(rawQuads, um(gsub))
+    // datatype tracking is opt-in per branch: only when a filter in this
+    // branch (incl. its OPTIONAL/MINUS/EXISTS blocks) introspects terms
+    // do object variables carry their v__dt companion columns
+    val trackDt = DtFuncRe.findFirstIn(gsub).isDefined
     val notExistsGroups = NotExistsRe.findAllMatchIn(gsub).map(m => um(m.group(1))).toSeq
     val gne = NotExistsRe.replaceAllIn(gsub, " ")
     val existsGroups = ExistsRe.findAllMatchIn(gne).map(m => um(m.group(1))).toSeq
@@ -1368,11 +1433,11 @@ object GraphOps {
       s"UNION branch has no patterns: '$group'")
     val base =
       if (mixed.nonEmpty)
-        subFrames.foldLeft(bgpMixed(quads, mixed))(joinShared(_, _, "sub-select"))
+        subFrames.foldLeft(bgpMixed(quads, mixed, trackDt))(joinShared(_, _, "sub-select"))
       else subFrames.reduce(joinShared(_, _, "sub-select"))
     val withOptionals = optionals.foldLeft(base) { (acc, ob) =>
       val q = parseQuery(ob)
-      val opt = applyFilters(bgp(quads, q.patterns), q.filters)
+      val opt = applyFilters(bgp(quads, q.patterns, trackDt), q.filters)
       val shared = acc.columns.toSet.intersect(opt.columns.toSet).toSeq.sorted
       require(shared.nonEmpty,
         s"OPTIONAL group '$ob' shares no variable with its branch")
@@ -1380,7 +1445,7 @@ object GraphOps {
     }
     val withMinus = minusGroups.foldLeft(withOptionals) { (acc, mb) =>
       val q = parseQuery(mb)
-      val m = applyFilters(bgp(quads, q.patterns), q.filters)
+      val m = applyFilters(bgp(quads, q.patterns, trackDt), q.filters)
       val shared = acc.columns.toSet.intersect(m.columns.toSet).toSeq.sorted
       require(shared.nonEmpty,
         s"MINUS group '$mb' shares no variable with its branch")
@@ -1388,7 +1453,7 @@ object GraphOps {
     }
     val withExists = existsGroups.foldLeft(withMinus) { (acc, eb) =>
       val q = parseQuery(eb)
-      val e = applyFilters(bgp(quads, q.patterns), q.filters)
+      val e = applyFilters(bgp(quads, q.patterns, trackDt), q.filters)
       val shared = acc.columns.toSet.intersect(e.columns.toSet).toSeq.sorted
       require(shared.nonEmpty,
         s"FILTER EXISTS group '$eb' shares no variable with its branch")
@@ -1396,7 +1461,7 @@ object GraphOps {
     }
     val withNotExists = notExistsGroups.foldLeft(withExists) { (acc, nb) =>
       val q = parseQuery(nb)
-      val n = applyFilters(bgp(quads, q.patterns), q.filters)
+      val n = applyFilters(bgp(quads, q.patterns, trackDt), q.filters)
       val shared = acc.columns.toSet.intersect(n.columns.toSet).toSeq.sorted
       require(shared.nonEmpty,
         s"FILTER NOT EXISTS group '$nb' shares no variable with its branch")

@@ -916,6 +916,25 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(two == Set("2"))
   }
 
+  test("term introspection: DATATYPE / isIRI / isBlank / isLiteral / isNumeric") {
+    val kg = quads(
+      ("n1", "p:name", "alice", XsdString),
+      ("n1", "p:age", "30", XsdInteger),
+      ("n1", "p:ref", "urn:x", ""),
+      ("n1", "p:note", "_:b0", ""))
+    def objs(f: String): Set[String] =
+      GraphOps.select(kg, s"?s !<p:none> ?o . FILTER($f)")
+        .collect().map(_.getString(0)).toSet
+    assert(objs("isLiteral(?o)") == Set("alice", "30"))
+    assert(objs("isIRI(?o)") == Set("urn:x"))
+    assert(objs("isBlank(?o)") == Set("_:b0"))
+    assert(objs("isNumeric(?o)") == Set("30"))
+    assert(objs(s"""DATATYPE(?o) = <$XsdString>""") == Set("alice"))
+    // the tracked companion column is internal — never in query output
+    val out = GraphOps.select(kg, "?s !<p:none> ?o . FILTER(isLiteral(?o))")
+    assert(out.columns.toSeq == Seq("o", "s"))
+  }
+
   test("ivfTopK agrees with brute force when probing all cells") {
     val sp = spark; import sp.implicits._
     val rng = new scala.util.Random(42)
