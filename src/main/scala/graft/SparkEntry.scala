@@ -866,6 +866,24 @@ object SparkEntry {
          |    BIND("num" AS ?kind) }
          |} GROUP BY ?kind ORDER BY ?kind""".stripMargin)
 
+  /** String value functions (round 5): UCASE/LCASE round trip, SUBSTR,
+    * regex REPLACE (all-matches), STRBEFORE/STRAFTER with the empty-on-
+    * no-match rule — all as BIND projections, with a STRLEN-of-STRAFTER
+    * FILTER keeping only single-digit nation suffixes (the filter
+    * excludes rows, so every function is value-gated, not just typed).
+    */
+  def kgStrFuncs(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """SELECT ?n ?l ?u ?sub ?rep ?s_before ?s_after WHERE {
+        |  ?n <urn:dm:nation#n_name> ?name .
+        |  BIND(LCASE(?name) AS ?l) . BIND(UCASE(?l) AS ?u) .
+        |  BIND(SUBSTR(?name, 1, 6) AS ?sub) .
+        |  BIND(REPLACE(?name, "_", "-") AS ?rep) .
+        |  BIND(STRBEFORE(?name, "_") AS ?s_before) .
+        |  BIND(STRAFTER(?name, "_") AS ?s_after) .
+        |  FILTER(STRLEN(?s_after) = 1)
+        |} ORDER BY ?n""".stripMargin)
+
   /** Subquery (round 5): SPARQL 1.1 `{ SELECT … }` — per-nation customer
     * counts aggregated in a sub-select, joined to the outer name pattern
     * on the shared nation variable.
@@ -943,6 +961,7 @@ object SparkEntry {
     "kg_filter_in" -> (kgFilterIn(_, _)),
     "kg_pred_negation" -> (kgPredNegation(_, _)),
     "kg_term_tests" -> (kgTermTests(_, _)),
+    "kg_str_funcs" -> (kgStrFuncs(_, _)),
     "kg_union_filter_lt" -> (kgUnionFilterLt(_, _)),
     "kg_minus" -> (kgMinus(_, _)),
     "kg_values" -> (kgValues(_, _)),
@@ -1377,6 +1396,24 @@ object SparkEntry {
          |  UNION ALL SELECT 'lit', count(*) FROM n1 WHERE dt <> ''
          |  UNION ALL SELECT 'num', count(*) FROM n1 WHERE dt = '$XsdInteger'
          |) ORDER BY kind""".stripMargin,
+    // string value functions; the 'g' flag matches Spark's global
+    // regexp_replace, and both before/after follow empty-on-no-match
+    "kg_str_funcs" ->
+      """SELECT 'urn:dm:nation/'||n_nationkey AS n,
+        |  lower(n_name) AS l, upper(lower(n_name)) AS u,
+        |  substring(n_name, 1, 6) AS sub,
+        |  regexp_replace(n_name, '_', '-', 'g') AS rep,
+        |  CASE WHEN position('_' IN n_name) > 0
+        |       THEN substring(n_name, 1, position('_' IN n_name) - 1)
+        |       ELSE '' END AS s_before,
+        |  CASE WHEN position('_' IN n_name) > 0
+        |       THEN substring(n_name, position('_' IN n_name) + 1)
+        |       ELSE '' END AS s_after
+        |FROM nation
+        |WHERE length(CASE WHEN position('_' IN n_name) > 0
+        |       THEN substring(n_name, position('_' IN n_name) + 1)
+        |       ELSE '' END) = 1
+        |ORDER BY n""".stripMargin,
     // subquery: aggregate inside, join outside on the shared variable
     "kg_subquery" ->
       """SELECT n_name AS name, cnt AS n_customers FROM nation

@@ -420,6 +420,51 @@ object GraphOps {
       }
     }
   }
+  /** `UCASE` / `LCASE` — case mapping over the lexical form. */
+  final case class VECase(func: String, e: ValueExpr) extends ValueExpr {
+    def column: Column = {
+      val t = e.column.cast("string")
+      if (func == "UCASE") upper(t) else lower(t)
+    }
+    override def stringTyped = true
+  }
+  /** `SUBSTR(e, start[, len])` — 1-based, like SPARQL (and SQL). The
+    * 2-arg form runs to the end of the string.
+    */
+  final case class VESubstr(e: ValueExpr, start: ValueExpr,
+                            len: Option[ValueExpr]) extends ValueExpr {
+    def column: Column = {
+      val t = e.column.cast("string")
+      val s = start.column.cast("int")
+      t.substr(s, len.map(_.column.cast("int")).getOrElse(length(t)))
+    }
+    override def stringTyped = true
+  }
+  /** `REPLACE(e, pattern, replacement)` — regex replace of ALL matches
+    * (SPARQL's fn:replace semantics; Spark's regexp_replace is global).
+    */
+  final case class VEReplace(e: ValueExpr, pat: ValueExpr,
+                             rep: ValueExpr) extends ValueExpr {
+    def column: Column = regexp_replace(e.column.cast("string"),
+      pat.column.cast("string"), rep.column.cast("string"))
+    override def stringTyped = true
+  }
+  /** `STRBEFORE` / `STRAFTER` with a LITERAL delimiter (the common
+    * form): the part before/after the FIRST occurrence, `""` when the
+    * delimiter does not occur — exactly SPARQL's empty-string-on-no-
+    * match rule.
+    */
+  final case class VEStrSplit(func: String, e: ValueExpr,
+                              delim: String) extends ValueExpr {
+    def column: Column = {
+      val t = e.column.cast("string")
+      val pos = instr(t, delim)
+      if (func == "STRBEFORE") when(pos > 0, t.substr(lit(1), pos - 1)).otherwise(lit(""))
+      else when(pos > 0, t.substr(pos + delim.length, length(t))).otherwise(lit(""))
+    }
+    override def stringTyped = true
+  }
+
   /** `DATATYPE(?v)` — the tracked datatype IRI of an object-position
     * variable (`""` for IRIs in this engine's quad storage). Needs the
     * enclosing query compiled with datatype tracking — automatic in the
@@ -659,6 +704,29 @@ object GraphOps {
           expect(")")
           VEDatatype(v.drop(1))
         case "STRLEN" => next(); expect("("); val e = parseValue(); expect(")"); VEStrLen(e)
+        case f @ ("UCASE" | "LCASE") =>
+          next(); expect("("); val e = parseValue(); expect(")"); VECase(f, e)
+        case "SUBSTR" =>
+          next(); expect("(")
+          val e = parseValue(); expect(",")
+          val start = parseValue()
+          val len = if (peek == ",") { next(); Some(parseValue()) } else None
+          expect(")")
+          VESubstr(e, start, len)
+        case "REPLACE" =>
+          next(); expect("(")
+          val e = parseValue(); expect(",")
+          val pat = parseValue(); expect(",")
+          val rep = parseValue(); expect(")")
+          VEReplace(e, pat, rep)
+        case f @ ("STRBEFORE" | "STRAFTER") =>
+          next(); expect("(")
+          val e = parseValue(); expect(",")
+          val d = next()
+          require(d.startsWith("\"") && d.endsWith("\"") && d.length >= 2,
+            s"$f needs a quoted literal delimiter, got '$d'")
+          expect(")")
+          VEStrSplit(f, e, d.drop(1).dropRight(1))
         case "STR" => next(); expect("("); val e = parseValue(); expect(")"); VEStrCast(e)
         case "CONCAT" =>
           next(); expect("(")

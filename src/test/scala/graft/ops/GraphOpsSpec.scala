@@ -935,6 +935,24 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.columns.toSeq == Seq("o", "s"))
   }
 
+  test("string value functions: UCASE / LCASE / SUBSTR / REPLACE / STRBEFORE / STRAFTER") {
+    val kg = quads(
+      ("n1", "p:name", "Alpha_One", XsdString),
+      ("n2", "p:name", "beta", XsdString))
+    val got = GraphOps.select(kg,
+      """SELECT ?s ?u ?l ?sub ?rep ?b4 ?aft WHERE {
+        |  ?s <p:name> ?name .
+        |  BIND(UCASE(?name) AS ?u) . BIND(LCASE(?name) AS ?l) .
+        |  BIND(SUBSTR(?name, 2, 3) AS ?sub) .
+        |  BIND(REPLACE(?name, "a", "x") AS ?rep) .
+        |  BIND(STRBEFORE(?name, "_") AS ?b4) . BIND(STRAFTER(?name, "_") AS ?aft)
+        |} ORDER BY ?s""".stripMargin)
+      .collect().map(r => (0 to 6).map(r.getString))
+    assert(got(0) == Seq("n1", "ALPHA_ONE", "alpha_one", "lph", "Alphx_One", "Alpha", "One"))
+    assert(got(1) == Seq("n2", "BETA", "beta", "eta", "betx", "", ""),
+      "STRBEFORE/STRAFTER must return empty on a missing delimiter")
+  }
+
   test("ivfTopK agrees with brute force when probing all cells") {
     val sp = spark; import sp.implicits._
     val rng = new scala.util.Random(42)
