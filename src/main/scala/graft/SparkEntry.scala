@@ -884,6 +884,20 @@ object SparkEntry {
         |  FILTER(STRLEN(?s_after) = 1)
         |} ORDER BY ?n""".stripMargin)
 
+  /** IF + COALESCE (round 5): a FILTER-gated OPTIONAL binds the region
+    * key only when ≥ 2; COALESCE defaults the unbound rows, IF remaps
+    * the default — both branches of each conditional are exercised
+    * (bands "2"/"3"/"4" from the bound path, "L" from the fallback).
+    */
+  def kgIfCoalesce(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """SELECT ?band (COUNT(*) AS ?n) WHERE {
+        |  ?n <urn:dm:nation#n_name> ?nm .
+        |  OPTIONAL { ?n <urn:dm:nation#n_regionkey> ?rk . FILTER(?rk >= 2) } .
+        |  BIND(COALESCE(?rk, "low") AS ?coal) .
+        |  BIND(IF(?coal = "low", "L", ?coal) AS ?band)
+        |} GROUP BY ?band ORDER BY ?band""".stripMargin)
+
   /** Subquery (round 5): SPARQL 1.1 `{ SELECT … }` — per-nation customer
     * counts aggregated in a sub-select, joined to the outer name pattern
     * on the shared nation variable.
@@ -962,6 +976,7 @@ object SparkEntry {
     "kg_pred_negation" -> (kgPredNegation(_, _)),
     "kg_term_tests" -> (kgTermTests(_, _)),
     "kg_str_funcs" -> (kgStrFuncs(_, _)),
+    "kg_if_coalesce" -> (kgIfCoalesce(_, _)),
     "kg_union_filter_lt" -> (kgUnionFilterLt(_, _)),
     "kg_minus" -> (kgMinus(_, _)),
     "kg_values" -> (kgValues(_, _)),
@@ -1414,6 +1429,13 @@ object SparkEntry {
         |       THEN substring(n_name, position('_' IN n_name) + 1)
         |       ELSE '' END) = 1
         |ORDER BY n""".stripMargin,
+    // IF + COALESCE over the FILTER-gated OPTIONAL: bound rows keep
+    // their lexical region key, unbound rows fall through to "L"
+    "kg_if_coalesce" ->
+      """SELECT band, count(*) AS n FROM (
+        |  SELECT CASE WHEN n_regionkey >= 2 THEN CAST(n_regionkey AS VARCHAR)
+        |              ELSE 'L' END AS band FROM nation
+        |) GROUP BY band ORDER BY band""".stripMargin,
     // subquery: aggregate inside, join outside on the shared variable
     "kg_subquery" ->
       """SELECT n_name AS name, cnt AS n_customers FROM nation

@@ -465,6 +465,30 @@ object GraphOps {
     override def stringTyped = true
   }
 
+  /** Align branch types for IF/COALESCE: any string-typed member casts
+    * everything to string; otherwise columns pass through (variables are
+    * lexical strings already, numerics are doubles — Spark coerces).
+    */
+  private def alignTypes(args: Seq[ValueExpr]): Seq[Column] =
+    if (args.exists(_.stringTyped)) args.map(_.column.cast("string"))
+    else args.map(_.column)
+
+  /** `IF(cond, then, else)` — SPARQL's conditional expression. */
+  final case class VEIf(cond: Constraint, t: ValueExpr, f: ValueExpr) extends ValueExpr {
+    def column: Column = {
+      val Seq(tc, fc) = alignTypes(Seq(t, f))
+      when(cond.column, tc).otherwise(fc)
+    }
+    override def stringTyped: Boolean = t.stringTyped || f.stringTyped
+  }
+  /** `COALESCE(e, …)` — first bound (non-null) value; the idiomatic
+    * default for OPTIONAL-introduced variables.
+    */
+  final case class VECoalesce(args: Seq[ValueExpr]) extends ValueExpr {
+    def column: Column = coalesce(alignTypes(args): _*)
+    override def stringTyped: Boolean = args.exists(_.stringTyped)
+  }
+
   /** `DATATYPE(?v)` — the tracked datatype IRI of an object-position
     * variable (`""` for IRIs in this engine's quad storage). Needs the
     * enclosing query compiled with datatype tracking — automatic in the
@@ -734,6 +758,18 @@ object GraphOps {
           while (peek == ",") { next(); args += parseValue() }
           expect(")")
           VEConcat(args.toSeq)
+        case "IF" =>
+          next(); expect("(")
+          val cond = parseConstraint(); expect(",")
+          val t = parseValue(); expect(",")
+          val f = parseValue(); expect(")")
+          VEIf(cond, t, f)
+        case "COALESCE" =>
+          next(); expect("(")
+          val args = scala.collection.mutable.ArrayBuffer(parseValue())
+          while (peek == ",") { next(); args += parseValue() }
+          expect(")")
+          VECoalesce(args.toSeq)
         case _ => throw new IllegalArgumentException(
           s"unrecognized expression token '${if (t.isEmpty) "<end>" else t}'")
       }

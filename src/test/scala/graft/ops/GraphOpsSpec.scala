@@ -953,6 +953,21 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "STRBEFORE/STRAFTER must return empty on a missing delimiter")
   }
 
+  test("IF and COALESCE: conditional values, OPTIONAL defaults") {
+    val kg = quads(
+      ("n1", "p:rk", "1", XsdInteger), ("n2", "p:rk", "3", XsdInteger),
+      ("n1", "p:note", "special", XsdString))
+    val got = GraphOps.select(kg,
+      """SELECT ?n ?band ?note2 WHERE {
+        |  ?n <p:rk> ?rk .
+        |  OPTIONAL { ?n <p:note> ?note } .
+        |  BIND(IF(?rk >= 2, "high", "low") AS ?band) .
+        |  BIND(COALESCE(?note, "none") AS ?note2)
+        |} ORDER BY ?n""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq(("n1", "low", "special"), ("n2", "high", "none")))
+  }
+
   test("ivfTopK agrees with brute force when probing all cells") {
     val sp = spark; import sp.implicits._
     val rng = new scala.util.Random(42)
