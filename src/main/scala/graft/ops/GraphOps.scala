@@ -851,13 +851,17 @@ object GraphOps {
 
   private val AsAliasRe = """(?is)^(.*)\bAS\s+\?(\w+)\s*$""".r
 
-  /** Pull every `BIND(expr AS ?v)` clause out of masked text. */
+  /** Pull every `BIND(expr AS ?v)` clause out of masked text. The
+    * ` AS ?alias` split runs on the still-MASKED body (a literal
+    * containing ` AS ?x` can't hijack it); only the expression part is
+    * unmasked, for the tokenizer.
+    */
   private def extractBinds(s: String,
                            um: String => String = identity): (Seq[Binding], String) =
-    extractParenClauses(s, "BIND", um, body => body match {
-      case AsAliasRe(expr, alias) => Binding(alias, parseValueExpr(expr))
+    extractParenClauses(s, "BIND", identity, body => body match {
+      case AsAliasRe(expr, alias) => Binding(alias, parseValueExpr(um(expr)))
       case _ => throw new IllegalArgumentException(
-        s"BIND needs the form 'BIND(expr AS ?var)', got 'BIND($body)'")
+        s"BIND needs the form 'BIND(expr AS ?var)', got 'BIND(${um(body)})'")
     })
 
   /** [[parsePatterns]] plus SPARQL's most common constraint form:
@@ -868,9 +872,13 @@ object GraphOps {
     * [[bgpFiltered]].
     */
   def parseQuery(block: String): ParsedQuery = {
-    val (masked, lits) = maskLiterals(block)
-    val (filters, rest) = extractFilters(masked, unmask(_, lits))
-    ParsedQuery(parsePatterns(unmask(rest, lits)), filters)
+    // mask literals AND IRIs before clause extraction: an IRI like
+    // <urn:x/FILTER(y)> must never feed the FILTER scanner
+    val (litMasked, lits) = maskLiterals(block)
+    val (masked, iris) = maskIris(litMasked)
+    def um(x: String): String = unmask(unmaskIris(x, iris), lits)
+    val (filters, rest) = extractFilters(masked, um)
+    ParsedQuery(parsePatterns(um(rest)), filters)
   }
 
   /** [[bgp]] with post-join FILTER constraints: each filter is one
@@ -912,7 +920,13 @@ object GraphOps {
 
   private val OptionalRe = """(?i)OPTIONAL\s*\{([^{}]*)\}""".r
   private val MinusRe = """(?i)MINUS\s*\{([^{}]*)\}""".r
-  private val GraphBlockRe = """(?i)GRAPH\s+(\?\w+|<[^>]+>|"[^"]*")\s*\{([^{}]*)\}""".r
+  /** The graph term alternatives include a masked-IRI placeholder —
+    * [[compileGroup]] scans text whose `<…>` IRIs are already opaque
+    * `␂idx␂` tokens.
+    */
+  private val GraphBlockRe =
+    ("""(?i)GRAPH\s+(\?\w+|<[^>]+>|"[^"]*"|""" + 2.toChar + """\d+""" + 2.toChar +
+      """)\s*\{([^{}]*)\}""").r
   private val ValuesRe = """(?i)VALUES\s+\?(\w+)\s*\{([^{}]*)\}""".r
 
   /** SPARQL VALUES (single-variable form): restrict a variable to an
@@ -1480,12 +1494,14 @@ object GraphOps {
     // 'SELECT' without WHERE out of an infinite select() recursion.
     if (SelectHeadRe.pattern.matcher(maskLiterals(group)._1).matches())
       return select(rawQuads, group)
-    // literal masking: the block-extraction regexes must never fire on
-    // keyword lookalikes INSIDE a quoted literal ("MINUS { x }" as an
-    // object is data); every extracted sub-block is unmasked before its
-    // own parse
-    val (maskedGroup, lits) = maskLiterals(group)
-    def um(x: String): String = unmask(x, lits)
+    // literal AND IRI masking: the block-extraction regexes must never
+    // fire on keyword lookalikes INSIDE a quoted literal ("MINUS { x }"
+    // as an object is data) or inside an IRI (<urn:x/FILTER(y)> is a
+    // term, not a clause); every extracted sub-block is unmasked before
+    // its own parse
+    val (litMasked, lits) = maskLiterals(group)
+    val (maskedGroup, iris) = maskIris(litMasked)
+    def um(x: String): String = unmask(unmaskIris(x, iris), lits)
     val (subqueries, gsub) = extractSubqueries(maskedGroup)
     // bridge path closures for THIS branch only (sub-selects re-enter
     // select() against the raw quads and bridge their own paths —

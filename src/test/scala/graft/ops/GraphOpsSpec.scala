@@ -968,6 +968,22 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq(("n1", "low", "special"), ("n2", "high", "none")))
   }
 
+  test("clause keywords inside IRIs and literals cannot hijack extraction") {
+    val kg = quads(
+      ("s", "urn:x/FILTER(y)", "1", XsdInteger),
+      ("s", "urn:x/BIND(z)", "2", XsdInteger))
+    // an IRI containing FILTER(…) is a term — the clause scanner must
+    // not consume and blank it
+    val one = GraphOps.select(kg, "?s <urn:x/FILTER(y)> ?o")
+      .collect().map(_.getString(0)).toSeq
+    assert(one == Seq("1"))
+    // a literal containing ' AS ?x' must not hijack the BIND alias split
+    val two = GraphOps.select(kg,
+      """?s <urn:x/BIND(z)> ?o . BIND(CONCAT(?o, " AS ?fake") AS ?lab)""")
+      .select("lab").collect().map(_.getString(0)).toSeq
+    assert(two == Seq("2 AS ?fake"))
+  }
+
   test("ivfTopK agrees with brute force when probing all cells") {
     val sp = spark; import sp.implicits._
     val rng = new scala.util.Random(42)
