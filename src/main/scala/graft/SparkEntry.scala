@@ -547,6 +547,19 @@ object SparkEntry {
     constG.unionByName(defaultG).unionByName(varJoin).orderBy("part")
   }
 
+  /** FROM / FROM NAMED (round 5): the dataset clause over the
+    * named-graph KG — the plain pattern sees only region-1's graph (5 of
+    * 25 nation names), the GRAPH block may select only the FROM NAMED
+    * graph. Either restriction ignored → 25 rows or extra graphs, so
+    * both clauses are load-bearing.
+    */
+  def kgFromNamed(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgNamedGraphQuads(spark, dir),
+      """SELECT ?nm ?g2 FROM <urn:g:region/1> FROM NAMED <urn:g:region/1> WHERE {
+        |  ?n <urn:dm:nation#n_name> ?nm .
+        |  GRAPH ?g2 { ?n <urn:dm:nation#n_regionkey> ?rk }
+        |} ORDER BY ?nm""".stripMargin)
+
   /** FILTER in the BGP compiler, through the parser: nations with
     * region key ≥ 2 (numeric — lexical compare would misplace "10"),
     * minus one by name (string).
@@ -977,6 +990,7 @@ object SparkEntry {
     "kg_term_tests" -> (kgTermTests(_, _)),
     "kg_str_funcs" -> (kgStrFuncs(_, _)),
     "kg_if_coalesce" -> (kgIfCoalesce(_, _)),
+    "kg_from_named" -> (kgFromNamed(_, _)),
     "kg_union_filter_lt" -> (kgUnionFilterLt(_, _)),
     "kg_minus" -> (kgMinus(_, _)),
     "kg_values" -> (kgValues(_, _)),
@@ -1436,6 +1450,11 @@ object SparkEntry {
         |  SELECT CASE WHEN n_regionkey >= 2 THEN CAST(n_regionkey AS VARCHAR)
         |              ELSE 'L' END AS band FROM nation
         |) GROUP BY band ORDER BY band""".stripMargin,
+    // FROM/FROM NAMED: region-1 nations only, GRAPH var pinned to the
+    // one admitted named graph
+    "kg_from_named" ->
+      """SELECT n_name AS nm, 'urn:g:region/1' AS g2 FROM nation
+        |WHERE n_regionkey = 1 ORDER BY nm""".stripMargin,
     // subquery: aggregate inside, join outside on the shared variable
     "kg_subquery" ->
       """SELECT n_name AS name, cnt AS n_customers FROM nation

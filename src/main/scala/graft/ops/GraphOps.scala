@@ -1006,12 +1006,36 @@ object GraphOps {
     val (masked, lits) = maskLiterals(text)
     masked match {
       case SelectHeadRe(head, rest) =>
-        val (distinct, projs) = parseProjections(head, unmask(_, lits))
+        val (dataset, headSansFrom) = extractDataset(head)
+        val (distinct, projs) = parseProjections(headSansFrom, unmask(_, lits))
         val (bodyMasked, tailMasked) = extractBraceBlock(rest)
-        applyModifiers(compileBody(quads, unmask(bodyMasked, lits)),
+        applyModifiers(compileBody(quads, unmask(bodyMasked, lits), dataset),
           distinct, projs, tailMasked, unmask(_, lits))
       case _ => compileBody(quads, text)
     }
+  }
+
+  private val FromNamedRe = """(?i)\bFROM\s+NAMED\s+<([^<>\s]*)>""".r
+  private val FromRe = """(?i)\bFROM\s+<([^<>\s]*)>""".r
+
+  /** The RDF dataset a SELECT runs against: `FROM <g>` graphs form the
+    * default graph (patterns outside GRAPH blocks match only them);
+    * `FROM NAMED <g>` graphs are the ones GRAPH blocks may select.
+    * `None` = no dataset clause, the full quad table on both sides.
+    */
+  final case class Dataset(defaults: Seq[String], named: Seq[String])
+
+  /** Strip `FROM` / `FROM NAMED` clauses out of the SELECT head. Per
+    * SPARQL, ANY dataset clause fully specifies the dataset: with only
+    * `FROM NAMED`, the default graph is empty (and vice versa).
+    */
+  private def extractDataset(head: String): (Option[Dataset], String) = {
+    val named = FromNamedRe.findAllMatchIn(head).map(_.group(1)).toSeq
+    val h1 = FromNamedRe.replaceAllIn(head, " ")
+    val defaults = FromRe.findAllMatchIn(h1).map(_.group(1)).toSeq
+    val h2 = FromRe.replaceAllIn(h1, " ")
+    if (named.isEmpty && defaults.isEmpty) (None, head)
+    else (Some(Dataset(defaults, named)), h2)
   }
 
   /** `CONSTRUCT { template } WHERE { body }` through the text grammar —
@@ -1129,8 +1153,9 @@ object GraphOps {
     * quads — a subquery re-enters [[select]] and does its own
     * bridging), drop the internal sequence-hop columns.
     */
-  private def compileBody(quads: DataFrame, body: String): DataFrame = {
-    val df = splitTopLevelUnion(body).map(compileGroup(quads, _))
+  private def compileBody(quads: DataFrame, body: String,
+                          dataset: Option[Dataset] = None): DataFrame = {
+    val df = splitTopLevelUnion(body).map(compileGroup(quads, _, dataset))
       .reduce(_.unionByName(_, allowMissingColumns = true))
     // drop internal columns: sequence-hop variables and tracked-datatype
     // companions (`?x__dt` is reserved alongside `?__seqN`)
@@ -1486,7 +1511,8 @@ object GraphOps {
     * same group works too, a deliberate simplification of SPARQL's
     * position-sensitive BIND scope.)
     */
-  private def compileGroup(rawQuads: DataFrame, group: String): DataFrame = {
+  private def compileGroup(rawQuads: DataFrame, group: String,
+                           dataset: Option[Dataset] = None): DataFrame = {
     // a branch that IS a bare sub-select (its braces were stripped by
     // the UNION splitter) re-enters select() whole — patterns can never
     // start with the SELECT keyword, so the dispatch is unambiguous.
@@ -1503,11 +1529,26 @@ object GraphOps {
     val (maskedGroup, iris) = maskIris(litMasked)
     def um(x: String): String = unmask(unmaskIris(x, iris), lits)
     val (subqueries, gsub) = extractSubqueries(maskedGroup)
+    // dataset scoping (FROM / FROM NAMED): the default-graph side feeds
+    // every non-GRAPH pattern and sub-block; the named side feeds GRAPH
+    // blocks. Per SPARQL, a dataset clause is a complete specification —
+    // an absent FROM NAMED empties the GRAPH side (isin of an empty
+    // list is false). Sub-selects currently re-enter against the FULL
+    // quad table — a documented deviation (SPARQL scopes the dataset
+    // over subqueries too).
+    val defaultBase = dataset match {
+      case Some(d) => rawQuads.filter(col("graph").isin(d.defaults: _*))
+      case None => rawQuads
+    }
+    val namedBase = dataset match {
+      case Some(d) => rawQuads.filter(col("graph").isin(d.named: _*))
+      case None => rawQuads
+    }
     // bridge path closures for THIS branch only (sub-selects re-enter
     // select() against the raw quads and bridge their own paths —
     // bridging the raw table once per scope keeps the virtual closure
     // triples single-counted)
-    val quads = bridgePaths(rawQuads, um(gsub))
+    val quads = bridgePaths(defaultBase, um(gsub))
     // datatype tracking is opt-in per branch: only when a filter in this
     // branch (incl. its OPTIONAL/MINUS/EXISTS blocks) introspects terms
     // do object variables carry their v__dt companion columns
@@ -1539,10 +1580,11 @@ object GraphOps {
       case "" => Seq.empty[TriplePattern]
       case rest => parsePatterns(rest)
     }
-    val mixed = required.map(p => (Option.empty[Term], p)) ++
-      graphBlocks.flatMap { case (gt, block) =>
-        parsePatterns(block).map(p => (Some(gt): Option[Term], p))
-      }
+    val plainPatterns = required.map(p => (Option.empty[Term], p))
+    val graphPatterns = graphBlocks.flatMap { case (gt, block) =>
+      parsePatterns(block).map(p => (Some(gt): Option[Term], p))
+    }
+    val mixed = plainPatterns ++ graphPatterns
     val subFrames = subqueries.map(sq => select(rawQuads, um(sq)))
     def joinShared(acc: DataFrame, next: DataFrame, what: String): DataFrame = {
       val shared = acc.columns.toSet.intersect(next.columns.toSet).toSeq.sorted
@@ -1551,10 +1593,26 @@ object GraphOps {
     }
     require(mixed.nonEmpty || subFrames.nonEmpty,
       s"UNION branch has no patterns: '$group'")
-    val base =
-      if (mixed.nonEmpty)
-        subFrames.foldLeft(bgpMixed(quads, mixed, trackDt))(joinShared(_, _, "sub-select"))
-      else subFrames.reduce(joinShared(_, _, "sub-select"))
+    // without a dataset clause, plain and GRAPH patterns compile over
+    // ONE frame (a plain pattern matches quads in any graph); with one,
+    // the two groups compile over their dataset sides and join on
+    // shared variables
+    val patternBase: Option[DataFrame] =
+      if (mixed.isEmpty) None
+      else if (dataset.isEmpty) Some(bgpMixed(quads, mixed, trackDt))
+      else {
+        val parts =
+          (if (plainPatterns.nonEmpty) Seq(bgpMixed(quads, plainPatterns, trackDt)) else Nil) ++
+            (if (graphPatterns.nonEmpty) Seq(bgpMixed(namedBase, graphPatterns, trackDt)) else Nil)
+        Some(parts.reduce { (a, b) =>
+          val shared = a.columns.toSet.intersect(b.columns.toSet).toSeq.sorted
+          if (shared.isEmpty) a.crossJoin(b) else a.join(b, shared)
+        })
+      }
+    val base = patternBase match {
+      case Some(pb) => subFrames.foldLeft(pb)(joinShared(_, _, "sub-select"))
+      case None => subFrames.reduce(joinShared(_, _, "sub-select"))
+    }
     val withOptionals = optionals.foldLeft(base) { (acc, ob) =>
       val q = parseQuery(ob)
       val opt = applyFilters(bgp(quads, q.patterns, trackDt), q.filters)

@@ -984,6 +984,33 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(two == Seq("2 AS ?fake"))
   }
 
+  test("FROM / FROM NAMED: dataset clause scopes plain patterns and GRAPH blocks") {
+    val sp = spark; import sp.implicits._
+    val kg = Seq(
+      ("n1", "p:name", "a", "", "g1"), ("n2", "p:name", "b", "", "g2"),
+      ("n1", "p:rk", "1", XsdInteger, "g1"), ("n2", "p:rk", "2", XsdInteger, "g2"))
+      .toDF("subj", "pred", "obj", "dt", "graph")
+    val from = GraphOps.select(kg,
+      "SELECT ?s FROM <g1> WHERE { ?s <p:name> ?nm }")
+      .collect().map(_.getString(0)).toSeq
+    assert(from == Seq("n1"), "FROM must restrict the default graph")
+    val fromNamed = GraphOps.select(kg,
+      "SELECT ?s ?g FROM NAMED <g2> WHERE { GRAPH ?g { ?s <p:rk> ?rk } }")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(fromNamed == Seq(("n2", "g2")), "FROM NAMED must scope GRAPH blocks")
+    // a dataset clause is a COMPLETE specification: FROM without
+    // FROM NAMED leaves the GRAPH side empty
+    assert(GraphOps.select(kg,
+      "SELECT ?s FROM <g1> WHERE { GRAPH ?g { ?s <p:rk> ?rk } }").count() == 0)
+    // and both sides compose: plain pattern from g1, GRAPH block from g2
+    val both = GraphOps.select(kg,
+      """SELECT ?s ?t FROM <g1> FROM NAMED <g2> WHERE {
+        |  ?s <p:name> ?nm . GRAPH ?g { ?t <p:rk> ?rk }
+        |}""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(both == Seq(("n1", "n2")))
+  }
+
   test("ivfTopK agrees with brute force when probing all cells") {
     val sp = spark; import sp.implicits._
     val rng = new scala.util.Random(42)
