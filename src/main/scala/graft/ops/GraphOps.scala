@@ -1052,16 +1052,27 @@ object GraphOps {
       case _ => throw new IllegalArgumentException(
         s"constructQuery expects 'CONSTRUCT { … } WHERE { … }', got '$text'")
     }
-    val (tmplMasked, afterTemplate) = extractBraceBlock(afterKeyword)
-    val afterWhere = afterTemplate match {
-      case WhereTailRe(rest) => rest
-      case _ => throw new IllegalArgumentException(
-        s"expected WHERE after the CONSTRUCT template in '$text'")
+    afterKeyword match {
+      // CONSTRUCT WHERE { plain patterns }: SPARQL's short form — the
+      // pattern block doubles as the template (parsePatterns rejects
+      // FILTER/OPTIONAL/… in it loudly, as the spec requires a plain BGP)
+      case WhereTailRe(rest) =>
+        val (bodyMasked, tail) = extractBraceBlock(rest)
+        require(tail.trim.isEmpty, s"unrecognized text after WHERE block: '${tail.trim}'")
+        val body = unmask(bodyMasked, lits)
+        construct(compileBody(quads, body), parsePatterns(body))
+      case _ =>
+        val (tmplMasked, afterTemplate) = extractBraceBlock(afterKeyword)
+        val afterWhere = afterTemplate match {
+          case WhereTailRe(rest) => rest
+          case _ => throw new IllegalArgumentException(
+            s"expected WHERE after the CONSTRUCT template in '$text'")
+        }
+        val (bodyMasked, tail) = extractBraceBlock(afterWhere)
+        require(tail.trim.isEmpty, s"unrecognized text after WHERE block: '${tail.trim}'")
+        construct(compileBody(quads, unmask(bodyMasked, lits)),
+          parsePatterns(unmask(tmplMasked, lits)))
     }
-    val (bodyMasked, tail) = extractBraceBlock(afterWhere)
-    require(tail.trim.isEmpty, s"unrecognized text after WHERE block: '${tail.trim}'")
-    construct(compileBody(quads, unmask(bodyMasked, lits)),
-      parsePatterns(unmask(tmplMasked, lits)))
   }
 
   /** `ASK { body }` through the text grammar: one row, one boolean
@@ -1206,8 +1217,6 @@ object GraphOps {
   private val OrderKeyRe = """(?i)(ASC|DESC)\s*\(\s*\?(\w+)\s*\)|\?(\w+)""".r
   private val LimitRe = """(?i)\bLIMIT\s+(\d+)""".r
   private val OffsetRe = """(?i)\bOFFSET\s+(\d+)""".r
-  private val HavingRe =
-    """(?i)\bHAVING\s*\(\s*\?(\w+)\s*(=|!=|<=|>=|<|>)\s*("[^"]*"|[^\s()]+)\s*\)""".r
   private val VarRe = """\?(\w+)""".r
 
   /** Parse the text between SELECT and WHERE: optional DISTINCT, then
@@ -1259,18 +1268,13 @@ object GraphOps {
       .getOrElse(Seq.empty)
     val limit = LimitRe.findFirstMatchIn(tail).map(_.group(1).toInt)
     val offset = OffsetRe.findFirstMatchIn(tail).map(_.group(1).toInt)
-    // HAVING(?alias op const): a post-aggregation VarFilter over the
-    // projected aggregate aliases (numeric or quoted-string operand)
-    val having = HavingRe.findAllMatchIn(tail).map { m =>
-      val raw = um(m.group(3))
-      val operand =
-        if (raw.startsWith("\"") && raw.endsWith("\"")) Right(raw.drop(1).dropRight(1))
-        else Left(raw.toDouble)
-      VarFilter(m.group(1), m.group(2), operand)
-    }.toSeq
+    // HAVING( expr ): the FULL filter expression grammar over the
+    // projected aggregate aliases — boolean composition, arithmetic,
+    // string predicates, all of it
+    val (having, tailSansHaving) = extractParenClauses(tail, "HAVING", um, parseFilterExpr)
     val leftover =
-      HavingRe.replaceAllIn(OffsetRe.replaceAllIn(LimitRe.replaceAllIn(
-        OrderByRe.replaceAllIn(GroupByRe.replaceAllIn(tail, " "), " "), " "), " "), " ").trim
+      OffsetRe.replaceAllIn(LimitRe.replaceAllIn(
+        OrderByRe.replaceAllIn(GroupByRe.replaceAllIn(tailSansHaving, " "), " "), " "), " ").trim
     require(leftover.isEmpty, s"unrecognized text after WHERE block: '$leftover'")
 
     val aggs = projs.collect { case a: ProjAgg => a }
@@ -1797,6 +1801,52 @@ object GraphOps {
         s"transitiveClosure did not converge in $maxIterations doubling rounds " +
           "(cycle-free depth > 2^rounds, or a dense quadratic closure) — raise maxIterations")
     paths
+  }
+
+  /** Incrementally maintain a materialized transitive closure: given
+    * the closure `C` of an edge set and a batch of NEW edges `ΔE`,
+    * compute the closure of the union WITHOUT re-closing the old edge
+    * set. Semi-naive delta iteration: start from `ΔE`, then each round
+    * extends the delta by prefixing/suffixing old-closure segments and
+    * chaining deltas (`Δ ∪ C⋈Δ ∪ Δ⋈C ∪ Δ⋈Δ`), converging in
+    * O(log |new-path chain|) rounds — every join PRODUCES only paths
+    * that touch a new edge, so the work scales with the delta, not the
+    * stored closure. This is the maintenance operation behind the
+    * closure-table shape [[withPathClosure]] documents for 100× scale:
+    * the nightly ingest appends edges, this folds them in.
+    *
+    * Output: the UPDATED closure (old ∪ new paths), same (src, dst)
+    * schema. Value-gated against the full-recompute recursive-CTE
+    * oracle (`kg_closure_delta`); raises on non-convergence like
+    * [[transitiveClosure]].
+    */
+  def updateClosure(closure: DataFrame, newEdges: DataFrame,
+                    maxIterations: Int = 20): DataFrame = {
+    val c = closure.select(col("src"), col("dst")).localCheckpoint()
+    var delta = newEdges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    var n = delta.count()
+    if (n == 0) return c
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val viaLeft = c.as("l").join(delta.as("r"), col("l.dst") === col("r.src"))
+        .select(col("l.src").as("src"), col("r.dst").as("dst"))
+      val viaRight = delta.as("l").join(c.as("r"), col("l.dst") === col("r.src"))
+        .select(col("l.src").as("src"), col("r.dst").as("dst"))
+      val chained = delta.as("l").join(delta.as("r"), col("l.dst") === col("r.src"))
+        .select(col("l.src").as("src"), col("r.dst").as("dst"))
+      val next = delta.union(viaLeft).union(viaRight).union(chained)
+        .distinct().localCheckpoint()
+      val m = next.count()
+      converged = m == n
+      delta = next
+      n = m
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"updateClosure did not converge in $maxIterations delta rounds — raise maxIterations")
+    c.union(delta).distinct()
   }
 
   /** SPARQL property path `p+` (one-or-more): the [[transitiveClosure]]

@@ -1011,6 +1011,43 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(both == Seq(("n1", "n2")))
   }
 
+  test("updateClosure: incremental delta maintenance equals full recompute") {
+    val sp = spark; import sp.implicits._
+    // chain with a branch; hold out two edges whose new paths must
+    // alternate old-closure segments and BOTH new edges (1→7 below)
+    val all = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 6L), (6L, 7L))
+    val held = Set((2L, 3L), (6L, 7L))
+    val base = all.filterNot(held)
+    val c0 = GraphOps.transitiveClosure(base.toDF("src", "dst"))
+    val updated = GraphOps.updateClosure(c0, held.toSeq.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = GraphOps.transitiveClosure(all.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(updated == full, "delta maintenance must equal the full re-closure")
+    assert(updated.contains((1L, 7L)), "the alternating old/new/old/new path must appear")
+    // empty delta is the identity
+    assert(GraphOps.updateClosure(c0,
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == c0.count())
+  }
+
+  test("HAVING takes the full expression grammar; CONSTRUCT WHERE short form") {
+    val kg = quads(
+      ("c1", "p:in", "n1", ""), ("c2", "p:in", "n1", ""), ("c3", "p:in", "n2", ""))
+    val hv = GraphOps.select(kg,
+      """SELECT ?n (COUNT(*) AS ?c) WHERE { ?m <p:in> ?n }
+        |GROUP BY ?n HAVING(?c >= 2 || ?n = "n2") ORDER BY ?n""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(hv == Seq(("n1", 2L), ("n2", 1L)),
+      "n2 passes only through the || branch — composition is load-bearing")
+    val cw = GraphOps.query(kg, "CONSTRUCT WHERE { ?m <p:in> ?n }")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(cw == Set(("c1", "p:in", "n1"), ("c2", "p:in", "n1"), ("c3", "p:in", "n2")))
+    // the short form requires a PLAIN pattern block
+    intercept[IllegalArgumentException] {
+      GraphOps.constructQuery(kg, "CONSTRUCT WHERE { ?m <p:in> ?n . FILTER(?n = \"n1\") }")
+    }
+  }
+
   test("ivfTopK agrees with brute force when probing all cells") {
     val sp = spark; import sp.implicits._
     val rng = new scala.util.Random(42)
