@@ -567,6 +567,15 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** SELECT-head expression projections (round 5): `(expr AS ?alias)`
+    * without a BIND — arithmetic and CONCAT straight in the head.
+    */
+  def kgSelectExpr(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """SELECT ?n (?rk * 10 + ?rk AS ?score) (CONCAT(?name, "/", ?rk) AS ?label) WHERE {
+        |  ?n <urn:dm:nation#n_name> ?name . ?n <urn:dm:nation#n_regionkey> ?rk
+        |} ORDER BY ?n""".stripMargin)
+
   /** FROM / FROM NAMED (round 5): the dataset clause over the
     * named-graph KG — the plain pattern sees only region-1's graph (5 of
     * 25 nation names), the GRAPH block may select only the FROM NAMED
@@ -1012,6 +1021,7 @@ object SparkEntry {
     "kg_if_coalesce" -> (kgIfCoalesce(_, _)),
     "kg_from_named" -> (kgFromNamed(_, _)),
     "kg_closure_delta" -> (kgClosureDelta(_, _)),
+    "kg_select_expr" -> (kgSelectExpr(_, _)),
     "kg_union_filter_lt" -> (kgUnionFilterLt(_, _)),
     "kg_minus" -> (kgMinus(_, _)),
     "kg_values" -> (kgValues(_, _)),
@@ -1471,6 +1481,12 @@ object SparkEntry {
         |  SELECT CASE WHEN n_regionkey >= 2 THEN CAST(n_regionkey AS VARCHAR)
         |              ELSE 'L' END AS band FROM nation
         |) GROUP BY band ORDER BY band""".stripMargin,
+    // SELECT-head expression projections
+    "kg_select_expr" ->
+      """SELECT 'urn:dm:nation/'||n_nationkey AS n,
+        |  CAST(n_regionkey * 10 + n_regionkey AS DOUBLE) AS score,
+        |  n_name || '/' || CAST(n_regionkey AS VARCHAR) AS label
+        |FROM nation ORDER BY n""".stripMargin,
     // FROM/FROM NAMED: region-1 nations only, GRAPH var pinned to the
     // one admitted named graph
     "kg_from_named" ->

@@ -850,6 +850,7 @@ object GraphOps {
   final case class Binding(alias: String, expr: ValueExpr)
 
   private val AsAliasRe = """(?is)^(.*)\bAS\s+\?(\w+)\s*$""".r
+  private val AsAliasParenRe = """(?is)^\((.*)\bAS\s+\?(\w+)\s*\)$""".r
 
   /** Pull every `BIND(expr AS ?v)` clause out of masked text. The
     * ` AS ?alias` split runs on the still-MASKED body (a literal
@@ -1196,9 +1197,13 @@ object GraphOps {
 
   // ---------------------------------------------- solution modifiers
 
-  /** One SELECT-head projection: a plain variable or an aggregate. */
+  /** One SELECT-head projection: a plain variable, an aggregate, or a
+    * value-expression alias.
+    */
   sealed private trait Proj
   private final case class ProjVar(name: String) extends Proj
+  /** `(expr AS ?alias)` — non-aggregate expression projection. */
+  private final case class ProjExpr(expr: ValueExpr, alias: String) extends Proj
   /** `arg = None` is `COUNT(*)`; `distinctArg` is `COUNT(DISTINCT ?v)`;
     * `sep` is GROUP_CONCAT's SEPARATOR.
     */
@@ -1243,6 +1248,9 @@ object GraphOps {
           ProjAgg(f, if (arg == "*") None else Some(arg.drop(1)), alias,
             distinctArg = dist != null)
         case t if VarRe.pattern.matcher(t).matches() => ProjVar(t.drop(1))
+        case t @ AsAliasParenRe(expr, alias) =>
+          // non-aggregate expression projection: `(?a * 2 AS ?x)`
+          ProjExpr(parseValueExpr(um(expr)), alias)
         case t => throw new IllegalArgumentException(
           s"unrecognized SELECT projection '$t'")
       }.toSeq
@@ -1279,10 +1287,14 @@ object GraphOps {
 
     val aggs = projs.collect { case a: ProjAgg => a }
     val plainVars = projs.collect { case ProjVar(n) => n }
+    val exprProjs = projs.collect { case e: ProjExpr => e }
     val projected =
       if (aggs.nonEmpty || groupVars.nonEmpty) {
         require(aggs.nonEmpty,
           "GROUP BY requires at least one aggregate projection in SELECT")
+        require(exprProjs.isEmpty,
+          "expression projections cannot mix with aggregates — BIND the " +
+            "expression in the body instead")
         val keys = if (groupVars.nonEmpty) groupVars else plainVars
         val stray = plainVars.filterNot(keys.contains)
         require(stray.isEmpty,
@@ -1321,7 +1333,11 @@ object GraphOps {
           case ProjVar(n) => col(n)
           case a: ProjAgg => col(a.alias)
         }: _*)
-      } else if (plainVars.nonEmpty) bindings.select(plainVars.map(col): _*)
+      } else if (projs.nonEmpty) bindings.select(projs.map {
+        case ProjVar(n) => col(n)
+        case ProjExpr(e, alias) => e.column.as(alias)
+        case a: ProjAgg => col(a.alias) // unreachable: aggs handled above
+      }: _*)
       else bindings
     require(having.isEmpty || aggs.nonEmpty,
       "HAVING requires an aggregate projection in SELECT")

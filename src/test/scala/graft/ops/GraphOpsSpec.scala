@@ -1048,6 +1048,22 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("SELECT head expression projections: (expr AS ?alias)") {
+    val kg = quads(
+      ("n1", "p:rk", "2", XsdInteger), ("n2", "p:rk", "4", XsdInteger))
+    val got = GraphOps.select(kg,
+      """SELECT ?n (?rk * 2 AS ?rk2) (CONCAT(?n, "!") AS ?bang) WHERE {
+        |  ?n <p:rk> ?rk
+        |} ORDER BY ?n""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(got == Seq(("n1", 4.0, "n1!"), ("n2", 8.0, "n2!")))
+    val err = intercept[IllegalArgumentException] {
+      GraphOps.select(kg,
+        """SELECT (?rk * 2 AS ?x) (COUNT(*) AS ?c) WHERE { ?n <p:rk> ?rk } GROUP BY ?rk""")
+    }
+    assert(err.getMessage.contains("BIND"))
+  }
+
   test("ivfTopK agrees with brute force when probing all cells") {
     val sp = spark; import sp.implicits._
     val rng = new scala.util.Random(42)
