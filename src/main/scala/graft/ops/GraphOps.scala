@@ -1839,20 +1839,27 @@ object GraphOps {
   def updateClosure(closure: DataFrame, newEdges: DataFrame,
                     maxIterations: Int = 20): DataFrame = {
     val c = closure.select(col("src"), col("dst")).localCheckpoint()
-    var delta = newEdges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val edges = newEdges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    if (edges.isEmpty) return c
+    def chain(l: DataFrame, r: DataFrame): DataFrame =
+      l.as("l").join(r.as("r"), col("l.dst") === col("r.src"))
+        .select(col("l.src").as("src"), col("r.dst").as("dst"))
+    // normalization: every path with EXACTLY ONE new edge, optionally
+    // C-extended on either side. Because C is transitively CLOSED, two
+    // adjacent C-segments compose inside C — so any multi-new-edge path
+    // decomposes into these segments joined end to end, and the loop
+    // below needs only the single Δ⋈Δ self-join per round (each round
+    // doubles the new-edge count a path may contain: O(log k) rounds
+    // for paths through k new edges, each join sized by the DELTA, not
+    // the stored closure)
+    val cEdges = chain(c, edges)
+    var delta = edges.union(cEdges).union(chain(edges, c)).union(chain(cEdges, c))
+      .distinct().localCheckpoint()
     var n = delta.count()
-    if (n == 0) return c
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
-      val viaLeft = c.as("l").join(delta.as("r"), col("l.dst") === col("r.src"))
-        .select(col("l.src").as("src"), col("r.dst").as("dst"))
-      val viaRight = delta.as("l").join(c.as("r"), col("l.dst") === col("r.src"))
-        .select(col("l.src").as("src"), col("r.dst").as("dst"))
-      val chained = delta.as("l").join(delta.as("r"), col("l.dst") === col("r.src"))
-        .select(col("l.src").as("src"), col("r.dst").as("dst"))
-      val next = delta.union(viaLeft).union(viaRight).union(chained)
-        .distinct().localCheckpoint()
+      val next = delta.union(chain(delta, delta)).distinct().localCheckpoint()
       val m = next.count()
       converged = m == n
       delta = next
