@@ -457,6 +457,82 @@ object SparkEntry {
       """SELECT DISTINCT ?n WHERE { ?m <urn:dm:customer#ref-c_nationkey> ?n }
         |ORDER BY ?n LIMIT 5 OFFSET 10""".stripMargin)
 
+  /** SPARQL UPDATE `INSERT DATA` through the text grammar: a new region
+    * node (plain + typed literal + a reference edge) PLUS one triple the
+    * graph already holds — set semantics must make that one a no-op.
+    * Gated on the per-predicate profile of the updated graph, so both
+    * the inserts and the dedup are value-visible.
+    */
+  def kgUpdateInsert(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.updateQuery(kgTriples(spark, dir),
+      """INSERT DATA {
+        |  <urn:dm:region/9> <urn:dm:region#r_name> "NOWHERE" .
+        |  <urn:dm:region/0> <urn:dm:region#r_name> "AFRICA" .
+        |  <urn:dm:region/9> <urn:dm:region#population> "0"^^<http://www.w3.org/2001/XMLSchema#integer> .
+        |  <urn:dm:nation/1> <urn:dm:nation#ref-n_regionkey> <urn:dm:region/9> }""".stripMargin)
+      .groupBy(col("pred")).agg(count(lit(1)).as("n_triples"))
+      .orderBy("pred")
+
+  /** `DELETE WHERE` (pattern block doubling as the delete template):
+    * un-link every customer of nation 1, gate on the remaining
+    * per-nation customer counts.
+    */
+  def kgUpdateDeleteWhere(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.updateQuery(kgTriples(spark, dir),
+      "DELETE WHERE { ?c <urn:dm:customer#ref-c_nationkey> <urn:dm:nation/1> }")
+      .filter(col("pred") === "urn:dm:customer#ref-c_nationkey")
+      .groupBy(col("obj").as("nation")).agg(count(lit(1)).as("n_customers"))
+      .orderBy("nation")
+
+  /** The full `DELETE { } INSERT { } WHERE { }` form: move nation 1's
+    * customers to nation 2 — both templates instantiate against the
+    * same pre-update solutions, deletes land before inserts.
+    */
+  def kgUpdateModify(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.updateQuery(kgTriples(spark, dir),
+      """DELETE { ?c <urn:dm:customer#ref-c_nationkey> <urn:dm:nation/1> }
+        |INSERT { ?c <urn:dm:customer#ref-c_nationkey> <urn:dm:nation/2> }
+        |WHERE  { ?c <urn:dm:customer#ref-c_nationkey> <urn:dm:nation/1> }""".stripMargin)
+      .filter(col("pred") === "urn:dm:customer#ref-c_nationkey")
+      .groupBy(col("obj").as("nation")).agg(count(lit(1)).as("n_customers"))
+      .orderBy("nation")
+
+  /** PageRank over the KG's IRI-edge graph (customer→nation,
+    * supplier→nation, nation→region): which entities does the link
+    * structure rank as central? Fixed 3 iterations, quantized-sum
+    * deterministic ([[GraphOps.pageRank]]) — the oracle replays every
+    * iteration as chained CTEs with the identical expression tree, so
+    * the top-10 micro-ranks are value-gated, not rows-only.
+    */
+  def kgPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val kg = kgTriples(spark, dir)
+    GraphOps.pageRank(
+        kg.filter(col("dt") === "")
+          .select(col("subj").as("src"), col("obj").as("dst")),
+        iterations = 3)
+      .select(col("node"), round(col("rank") * 1e6, 4).as("rank_ppm"))
+      .orderBy(col("rank_ppm").desc, col("node"))
+      .limit(10)
+  }
+
+  /** MD5 / SHA256 digests in SELECT-head expressions — content
+    * fingerprints usable anywhere the value grammar runs; both engines
+    * emit identical lowercase hex.
+    */
+  def kgHashFuncs(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """SELECT ?name (MD5(?name) AS ?m) (SHA256(?name) AS ?s)
+        |WHERE { ?n <urn:dm:nation#n_name> ?name } ORDER BY ?name""".stripMargin)
+
+  /** ABS / ROUND / CEIL / FLOOR in SELECT-head expressions (ROUND is
+    * SPARQL's half-up, mirrored as floor(x+0.5) in the oracle).
+    */
+  def kgNumericFns(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """SELECT ?n (ABS(?rk - 2) AS ?dist) (FLOOR(?rk / 2) AS ?half)
+        |       (CEIL(?rk / 2) AS ?chalf) (ROUND(?rk / 3) AS ?third)
+        |WHERE { ?n <urn:dm:nation#n_regionkey> ?rk } ORDER BY ?n""".stripMargin)
+
   /** Incremental ingest: the prior run's manifest covers all docs except
     * doc_id % 10 == 3; only the 10% delta flows through the pipeline.
     */
@@ -1032,6 +1108,12 @@ object SparkEntry {
     "kg_having" -> (kgHaving(_, _)),
     "kg_count_distinct" -> (kgCountDistinct(_, _)),
     "kg_select_page" -> (kgSelectPage(_, _)),
+    "kg_update_insert" -> (kgUpdateInsert(_, _)),
+    "kg_update_delete_where" -> (kgUpdateDeleteWhere(_, _)),
+    "kg_update_modify" -> (kgUpdateModify(_, _)),
+    "kg_numeric_fns" -> (kgNumericFns(_, _)),
+    "kg_pagerank" -> (kgPageRank(_, _)),
+    "kg_hash_funcs" -> (kgHashFuncs(_, _)),
     "kg_reachability" -> (kgReachability(_, _)),
     "jsonld_incremental" -> (jsonldIncremental(_, _)),
     "jsonld_graph_stats" -> (jsonldGraphStats(_, _)),
@@ -1166,6 +1248,37 @@ object SparkEntry {
        |ORDER BY cosine DESC, vec_id LIMIT $topK""".stripMargin
   }
 
+  /** [[GraphOps.pageRank]] over the KG's IRI edges replayed in SQL:
+    * iteration i = dangling-mass scalar (`d$i`), per-edge quantized
+    * contributions (`pe$i`), per-target BIGINT sums (`c$i`), new ranks
+    * (`r$i`) — the same ops in the same order as the Spark loop, so the
+    * doubles agree bitwise before the final display rounding.
+    */
+  private def pageRankOracleSql(iterations: Int): String = {
+    def iterCtes(i: Int): String = {
+      val p = s"r${i - 1}"
+      s"""d$i AS (SELECT COALESCE(sum(CAST(floor(rank * 1e12) AS BIGINT)), 0) / 1e12 AS dm
+         |  FROM $p LEFT JOIN deg ON $p.node = deg.src WHERE deg.src IS NULL),
+         |pe$i AS (SELECT deg.src, CAST(floor(rank / deg * 1e12) AS BIGINT) AS q
+         |  FROM $p JOIN deg ON $p.node = deg.src),
+         |c$i AS (SELECT edges.dst AS node, sum(q) AS qs
+         |  FROM edges JOIN pe$i ON edges.src = pe$i.src GROUP BY edges.dst),
+         |r$i AS (SELECT nodes.node,
+         |    (1 - 0.85) / (SELECT n FROM params) +
+         |    0.85 * (COALESCE(qs, 0) / 1e12 + (SELECT dm FROM d$i) / (SELECT n FROM params)) AS rank
+         |  FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+    }
+    s"""WITH $kgQuadsCte,
+       |edges AS (SELECT DISTINCT subj AS src, obj AS dst FROM kg WHERE dt = ''),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |params AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT node, 1.0 / (SELECT n FROM params) AS rank FROM nodes),
+       |${(1 to iterations).map(iterCtes).mkString(",\n")}
+       |SELECT node, round(rank * 1e6, 4) AS rank_ppm FROM r$iterations
+       |ORDER BY rank_ppm DESC, node LIMIT 10""".stripMargin
+  }
+
   /** The Direct-Mapped TPC-H KG replayed in SQL — the same triples
     * [[kgTriples]] emits, as a CTE the graph-query oracles share.
     */
@@ -1274,6 +1387,48 @@ object SparkEntry {
     "kg_select_page" ->
       """SELECT DISTINCT 'urn:dm:nation/'||c_nationkey AS n FROM customer
         |ORDER BY n LIMIT 5 OFFSET 10""".stripMargin,
+    // INSERT DATA replay: the four constant quads appended through the
+    // same NOT EXISTS (subj,pred,obj) set-identity the engine uses —
+    // the pre-existing AFRICA triple must NOT bump its count
+    "kg_update_insert" ->
+      s"""WITH $kgQuadsCte,
+         |ins(subj, pred, obj, dt) AS (VALUES
+         |  ('urn:dm:region/9', 'urn:dm:region#r_name', 'NOWHERE', '$XsdString'),
+         |  ('urn:dm:region/0', 'urn:dm:region#r_name', 'AFRICA', '$XsdString'),
+         |  ('urn:dm:region/9', 'urn:dm:region#population', '0', '$XsdInteger'),
+         |  ('urn:dm:nation/1', 'urn:dm:nation#ref-n_regionkey', 'urn:dm:region/9', '')),
+         |updated AS (SELECT subj, pred, obj, dt FROM kg UNION ALL
+         |  SELECT i.subj, i.pred, i.obj, i.dt FROM (SELECT DISTINCT * FROM ins) i
+         |  WHERE NOT EXISTS (SELECT 1 FROM kg
+         |    WHERE kg.subj = i.subj AND kg.pred = i.pred AND kg.obj = i.obj))
+         |SELECT pred, count(*) AS n_triples FROM updated
+         |GROUP BY pred ORDER BY pred""".stripMargin,
+    "kg_update_delete_where" ->
+      """SELECT 'urn:dm:nation/'||c_nationkey AS nation, count(*) AS n_customers
+        |FROM customer WHERE c_nationkey <> 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the moved customers' ref triples are all fresh (their old ref was
+    // nation/1), so the per-nation counts just remap 1 → 2
+    "kg_update_modify" ->
+      """SELECT CASE WHEN c_nationkey = 1 THEN 'urn:dm:nation/2'
+        |            ELSE 'urn:dm:nation/'||c_nationkey END AS nation,
+        |  count(*) AS n_customers FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    // full PageRank replay: every iteration as chained CTEs with the
+    // IDENTICAL expression tree (quantized micro-unit contribution sums,
+    // dangling-mass scalar, same left-to-right double arithmetic) — the
+    // micro-ranks match to the rounded digit because both engines run
+    // the same deterministic function of the edge set
+    "kg_pagerank" -> pageRankOracleSql(iterations = 3),
+    "kg_hash_funcs" ->
+      """SELECT n_name AS name, md5(n_name) AS m, sha256(n_name) AS s
+        |FROM nation ORDER BY name""".stripMargin,
+    // SPARQL ROUND is half-up (toward +∞) — floor(x + 0.5) in BOTH engines
+    "kg_numeric_fns" ->
+      """SELECT 'urn:dm:nation/'||n_nationkey AS n,
+        |  CAST(abs(n_regionkey - 2) AS DOUBLE) AS dist,
+        |  CAST(floor(n_regionkey / 2) AS DOUBLE) AS half,
+        |  CAST(ceil(n_regionkey / 2) AS DOUBLE) AS chalf,
+        |  CAST(floor(n_regionkey / 3 + 0.5) AS DOUBLE) AS third
+        |FROM nation ORDER BY n""".stripMargin,
     "kg_describe" ->
       s"""WITH $kgQuadsCte
          |SELECT subj, pred, obj, dt FROM kg

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -384,6 +384,34 @@ object GraphOps {
   final case class VENeg(e: ValueExpr) extends ValueExpr {
     def column: Column = -e.column.cast("double")
   }
+  /** SPARQL hash functions `MD5` / `SHA256` — lowercase hex digest of
+    * the lexical form (string-typed, usable in BIND/SELECT heads and
+    * comparisons; both engines agree byte-for-byte, so hash-derived
+    * columns stay value-gateable).
+    */
+  final case class VEHash(func: String, e: ValueExpr) extends ValueExpr {
+    def column: Column = func match {
+      case "MD5" => md5(e.column.cast("string"))
+      case "SHA256" => sha2(e.column.cast("string"), 256)
+    }
+    override def stringTyped = true
+  }
+  /** SPARQL numeric functions `ABS` / `ROUND` / `CEIL` / `FLOOR` over a
+    * double-cast operand (non-numeric → null → error-eliminates-row,
+    * like [[VEArith]]). ROUND follows SPARQL's round-half-up (toward
+    * +∞), not banker's rounding — `floor(x + 0.5)` exactly.
+    */
+  final case class VENumFn(func: String, e: ValueExpr) extends ValueExpr {
+    def column: Column = {
+      val a = e.column.cast("double")
+      func match {
+        case "ABS" => abs(a)
+        case "ROUND" => floor(a + lit(0.5)).cast("double")
+        case "CEIL" => ceil(a).cast("double")
+        case "FLOOR" => floor(a).cast("double")
+      }
+    }
+  }
 
   /** Boolean composition of constraints — Spark's three-valued AND/OR
     * matches SPARQL's: an errored (null) operand drops the row unless the
@@ -728,6 +756,10 @@ object GraphOps {
           expect(")")
           VEDatatype(v.drop(1))
         case "STRLEN" => next(); expect("("); val e = parseValue(); expect(")"); VEStrLen(e)
+        case f @ ("ABS" | "ROUND" | "CEIL" | "FLOOR") =>
+          next(); expect("("); val e = parseValue(); expect(")"); VENumFn(f, e)
+        case f @ ("MD5" | "SHA256") =>
+          next(); expect("("); val e = parseValue(); expect(")"); VEHash(f, e)
         case f @ ("UCASE" | "LCASE") =>
           next(); expect("("); val e = parseValue(); expect(")"); VECase(f, e)
         case "SUBSTR" =>
@@ -1781,6 +1813,58 @@ object GraphOps {
       acc.join(m, shared, "left_anti")
     }
 
+  /** PageRank over a directed edge list (`src`, `dst`) — node importance
+    * for a constructed KG (which entities matter most in the graph). A
+    * FIXED iteration count (not an epsilon test), so the result is a
+    * replayable function of the input: the DuckDB oracle re-runs the
+    * same iterations as chained CTEs and the gate is value-level.
+    *
+    * Deterministic across partitionings/retries the same way
+    * `trainIvfCentroids` is: the only order-sensitive reduction — the
+    * per-target contribution sum and the dangling-mass sum — runs over
+    * QUANTIZED micro-unit longs (`floor(x·10¹²)`), so Spark's arbitrary
+    * aggregation order cannot perturb low bits. Per iteration: one
+    * shuffle join of ranks onto edges (both sides keyed by node/src) and
+    * one hash aggregation on dst; ranks are lineage-cut per round. At
+    * 10^12 edges each round is the canonical rank-join — co-partition
+    * the stored edge table by src and the join degenerates to a local
+    * zip, exactly how a production deployment would lay it out.
+    *
+    * Dangling nodes (no out-edges) redistribute their mass uniformly,
+    * the standard correction — rank mass is conserved up to
+    * quantization (≤ 10⁻¹² per node per round).
+    *
+    * Output: (node, rank) for every node incident to an edge.
+    */
+  def pageRank(edges0: DataFrame, iterations: Int = 3,
+               damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val Q = 1e12
+    val edges = edges0.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val n = nodes.count()
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val withDeg = ranks.join(outDeg, ranks("node") === outDeg("src"), "left")
+      // dangling mass: quantized BIGINT sum -> one scalar per round
+      val dangling = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum(floor(col("rank") * Q).cast("long")), lit(0L)).as("q"))
+        .first().getLong(0) / Q
+      val perEdge = withDeg.filter(col("deg").isNotNull)
+        .select(col("src"), floor(col("rank") / col("deg") * Q).cast("long").as("q"))
+      val contrib = edges.join(perEdge, "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("q")).as("qs"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1 - damping) / n) +
+            lit(damping) * (coalesce(col("qs"), lit(0L)) / Q + lit(dangling / n))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   /** Transitive closure of a directed edge list (`src`, `dst`) by
     * iterative doubling: after round i the path set covers all lengths up
     * to 2^i, so a diameter-D graph converges in ⌈log₂ D⌉ + 1 rounds —
@@ -1822,14 +1906,10 @@ object GraphOps {
   /** Incrementally maintain a materialized transitive closure: given
     * the closure `C` of an edge set and a batch of NEW edges `ΔE`,
     * compute the closure of the union WITHOUT re-closing the old edge
-    * set. Semi-naive delta iteration: start from `ΔE`, then each round
-    * extends the delta by prefixing/suffixing old-closure segments and
-    * chaining deltas (`Δ ∪ C⋈Δ ∪ Δ⋈C ∪ Δ⋈Δ`), converging in
-    * O(log |new-path chain|) rounds — every join PRODUCES only paths
-    * that touch a new edge, so the work scales with the delta, not the
-    * stored closure. This is the maintenance operation behind the
-    * closure-table shape [[withPathClosure]] documents for 100× scale:
-    * the nightly ingest appends edges, this folds them in.
+    * set — [[closureDelta]] (all the join work, sized by the delta)
+    * plus a disjoint append. This is the maintenance operation behind
+    * the closure-table shape [[withPathClosure]] documents for 100×
+    * scale: the nightly ingest appends edges, this folds them in.
     *
     * Output: the UPDATED closure (old ∪ new paths), same (src, dst)
     * schema. Value-gated against the full-recompute recursive-CTE
@@ -1839,19 +1919,38 @@ object GraphOps {
   def updateClosure(closure: DataFrame, newEdges: DataFrame,
                     maxIterations: Int = 20): DataFrame = {
     val c = closure.select(col("src"), col("dst")).localCheckpoint()
+    val fresh = closureDelta(c, newEdges, maxIterations)
+    // disjoint by construction (closureDelta anti-joins the stored set),
+    // so the merge is a plain append — NOT a whole-closure distinct():
+    // at stored-table scale the old closure never reshuffles
+    c.union(fresh)
+  }
+
+  /** The APPEND HALF of [[updateClosure]] — just the paths the new edges
+    * create that the stored closure doesn't already hold. This is the
+    * shape a 100-TB deployment actually runs: the closure lives in a
+    * partitioned table, the nightly ingest computes this delta and
+    * APPENDS it; nothing ever rewrites the stored set. Semi-naive delta
+    * iteration, all joins sized by the delta:
+    *
+    * normalization first — every path with EXACTLY ONE new edge,
+    * optionally C-extended on either side (`Δ ∪ CΔ ∪ ΔC ∪ CΔC`).
+    * Because C is transitively CLOSED, two adjacent C-segments compose
+    * inside C, so any multi-new-edge path decomposes into these
+    * segments joined end to end and the loop below needs only the
+    * single Δ⋈Δ self-join per round (each round doubles the new-edge
+    * count a path may contain: O(log k) rounds for paths through k new
+    * edges). The C-joins probe the stored closure with the SMALL side
+    * broadcast; the per-round self-join never touches C at all.
+    */
+  def closureDelta(closure: DataFrame, newEdges: DataFrame,
+                   maxIterations: Int = 20): DataFrame = {
+    val c = closure.select(col("src"), col("dst")).localCheckpoint()
     val edges = newEdges.select(col("src"), col("dst")).distinct().localCheckpoint()
-    if (edges.isEmpty) return c
+    if (edges.isEmpty) return edges // empty frame, right schema
     def chain(l: DataFrame, r: DataFrame): DataFrame =
       l.as("l").join(r.as("r"), col("l.dst") === col("r.src"))
         .select(col("l.src").as("src"), col("r.dst").as("dst"))
-    // normalization: every path with EXACTLY ONE new edge, optionally
-    // C-extended on either side. Because C is transitively CLOSED, two
-    // adjacent C-segments compose inside C — so any multi-new-edge path
-    // decomposes into these segments joined end to end, and the loop
-    // below needs only the single Δ⋈Δ self-join per round (each round
-    // doubles the new-edge count a path may contain: O(log k) rounds
-    // for paths through k new edges, each join sized by the DELTA, not
-    // the stored closure)
     val cEdges = chain(c, edges)
     var delta = edges.union(cEdges).union(chain(edges, c)).union(chain(cEdges, c))
       .distinct().localCheckpoint()
@@ -1868,8 +1967,10 @@ object GraphOps {
     }
     if (!converged)
       throw new IllegalStateException(
-        s"updateClosure did not converge in $maxIterations delta rounds — raise maxIterations")
-    c.union(delta).distinct()
+        s"closureDelta did not converge in $maxIterations delta rounds — raise maxIterations")
+    // only genuinely new paths: a new edge may connect a pair the old
+    // edges already connected
+    delta.join(c, Seq("src", "dst"), "left_anti")
   }
 
   /** SPARQL property path `p+` (one-or-more): the [[transitiveClosure]]
@@ -1968,5 +2069,189 @@ object GraphOps {
       .select(col("node"),
         coalesce(col("out_degree"), lit(0L)).as("out_degree"),
         coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+  }
+
+  // ------------------------------------------------------ SPARQL Update
+
+  /** One parsed triple template slot: the three terms plus the datatype
+    * the INSTANTIATED triple carries. Template parsing (unlike
+    * [[parseTerm]], which collapses IRIs and literals to the same
+    * `Const`) keeps the distinction, because an inserted quad needs its
+    * `dt` column: quoted literal → xsd:string (or the explicit
+    * `"lex"^^<dt>` type), IRI constant → `""`. A VARIABLE in object
+    * position instantiates with `dt = ""` — template variables are
+    * assumed IRI-valued (the common rewiring case); reinserting a
+    * LITERAL value needs the constant form, and the scaladoc of
+    * [[updateQuery]] says so out loud.
+    */
+  private final case class TripleTmpl(s: Term, p: Term, o: Term, dt: String)
+
+  /** Tokenize + parse a data/template block: triples separated by
+    * standalone `.`, each `subj pred obj` with `<iri>`/`?var` subjects,
+    * `<iri>`/`a`/`?var` predicates (no path syntax — a closure suffix
+    * or sequence in a template is meaningless and rejected loudly), and
+    * `<iri>`/`?var`/`"lit"`/`"lex"^^<dt>` objects. The typed-literal
+    * token is matched as ONE token (quote + optional `^^<iri>` tail).
+    */
+  private def parseTemplateBlock(block: String): Seq[TripleTmpl] = {
+    val termRe = """"[^"]*"(?:\^\^<[^<>\s]*>)?|\S+""".r
+    val toks = termRe.findAllIn(block).toSeq
+    val groups = toks.foldLeft(List(List.empty[String])) { (acc, t) =>
+      if (t == ".") List.empty[String] :: acc else (t :: acc.head) :: acc.tail
+    }.map(_.reverse).reverse.filter(_.nonEmpty)
+    require(groups.nonEmpty, "empty data/template block")
+    groups.map { p =>
+      require(p.length == 3, s"a data/template triple needs exactly 3 terms: '${p.mkString(" ")}'")
+      val s = parseTerm(p(0))
+      require(!p(0).startsWith("\""), s"a triple subject cannot be a literal: '${p(0)}'")
+      val predTok = if (p(1) == "a") "<" + RdfTypeIri + ">" else p(1)
+      require(predTok.startsWith("<") && predTok.endsWith(">") || predTok.startsWith("?"),
+        s"a data/template predicate must be <iri>, 'a', or ?var (no paths): '${p(1)}'")
+      val pr = parseTerm(predTok)
+      val oTok = p(2)
+      val (o, dt) =
+        if (oTok.startsWith("\"")) {
+          val hat = oTok.indexOf("\"^^<")
+          if (hat >= 0) (Const(oTok.substring(1, hat)), oTok.substring(hat + 4, oTok.length - 1))
+          else (parseTerm(oTok), XsdString)
+        } else (parseTerm(oTok), "")
+      TripleTmpl(s, pr, o, dt)
+    }
+  }
+
+  /** Constant-only data block (INSERT DATA / DELETE DATA) as a local
+    * quad DataFrame — a handful of driver-side rows, broadcast-sized by
+    * construction.
+    */
+  private def dataQuads(spark: SparkSession, block: String): DataFrame = {
+    val rows = parseTemplateBlock(block).map { t =>
+      (t.s, t.p, t.o) match {
+        case (Const(s), Const(p), Const(o)) => (s, p, o, t.dt)
+        case _ => throw new IllegalArgumentException(
+          s"a DATA block must be variable-free: '$block'")
+      }
+    }
+    spark.createDataFrame(rows).toDF("subj", "pred", "obj", "dt")
+  }
+
+  /** Instantiate a template per solution binding — [[construct]] with
+    * the `dt` column kept. Template variables must be bound by the WHERE
+    * body (checked loudly; an unbound template variable is a query bug,
+    * not a null triple).
+    */
+  private def instantiateQuads(bindings: DataFrame, tmpl: Seq[TripleTmpl]): DataFrame = {
+    val bound = bindings.columns.toSet
+    def c(t: Term): Column = t match {
+      case Var(n) =>
+        require(bound.contains(n), s"template variable ?$n is not bound by the WHERE body")
+        col(n)
+      case Const(v) => lit(v)
+      case other => throw new IllegalArgumentException(s"bad template term $other")
+    }
+    tmpl.map(t => bindings.select(
+        c(t.s).as("subj"), c(t.p).as("pred"), c(t.o).as("obj"), lit(t.dt).as("dt")))
+      .reduce(_.unionByName(_))
+      .distinct()
+  }
+
+  /** RDF-set DELETE: drop every quad whose (subj, pred, obj) appears in
+    * `del` — `dt` is derived metadata here, not identity. One left-anti
+    * hash join; the delete side is the (usually small) probe side, so at
+    * stored-graph scale AQE broadcasts it and the big table never
+    * shuffles.
+    */
+  private def deleteQuads(quads: DataFrame, del: DataFrame): DataFrame =
+    quads.join(del.select("subj", "pred", "obj").distinct(),
+      Seq("subj", "pred", "obj"), "left_anti")
+
+  /** RDF-set INSERT: append the quads of `ins` not already present
+    * (same (subj, pred, obj) identity as [[deleteQuads]]). Presence is
+    * one left-anti join probing the NEW rows against the stored table —
+    * never a distinct() over the whole graph, which would reshuffle
+    * 100 TB to add a handful of triples.
+    */
+  private def insertQuads(quads: DataFrame, ins: DataFrame): DataFrame =
+    quads.unionByName(
+      ins.distinct().join(quads.select("subj", "pred", "obj"),
+        Seq("subj", "pred", "obj"), "left_anti"))
+
+  private val InsertDataRe = """(?is)^\s*INSERT\s+DATA\b(.*)$""".r
+  private val DeleteDataRe = """(?is)^\s*DELETE\s+DATA\b(.*)$""".r
+  private val DeleteWhereRe = """(?is)^\s*DELETE\s+WHERE\b(.*)$""".r
+  private val DeleteHeadRe = """(?is)^\s*DELETE\b(.*)$""".r
+  private val InsertHeadRe = """(?is)^\s*INSERT\b(.*)$""".r
+
+  /** SPARQL 1.1 Update over the (subj, pred, obj, dt) quad table —
+    * FUNCTIONAL, Spark-style: returns the updated table as a new lazy
+    * DataFrame (the input is never mutated; a caller owning a stored
+    * graph writes the result back, and a closure-table owner folds the
+    * inserted edges in with [[updateClosure]]). Forms:
+    *
+    *  - `INSERT DATA { triples }` / `DELETE DATA { triples }` —
+    *    variable-free blocks; typed literals `"lex"^^<dt>` supported.
+    *  - `DELETE WHERE { patterns }` — the pattern block doubles as the
+    *    delete template (spec short form).
+    *  - `DELETE { tmpl } INSERT { tmpl } WHERE { body }` — either
+    *    template optional (at least one); both instantiate against the
+    *    SAME pre-update solutions, deletes apply before inserts
+    *    (SPARQL §3.1.3), and the body accepts [[select]]'s full pattern
+    *    surface (UNION/FILTER/OPTIONAL/MINUS/GRAPH/VALUES/paths).
+    *
+    * Set semantics throughout: inserting an existing triple is a no-op,
+    * matching on (subj, pred, obj) identity — `dt` travels with the
+    * triple but does not distinguish it. A template VARIABLE in object
+    * position instantiates with `dt = ""` (IRI-valued assumption);
+    * insert literal values through constants. PREFIX declarations
+    * expand as in [[select]].
+    */
+  def updateQuery(quads: DataFrame, text0: String): DataFrame = {
+    val text = expandPrefixes(text0)
+    val (masked, lits) = maskLiterals(text)
+    def block(rest: String): (String, String) = {
+      val (b, tail) = extractBraceBlock(rest)
+      (unmask(b, lits), tail)
+    }
+    def requireDone(tail: String): Unit =
+      require(tail.trim.isEmpty, s"unrecognized text after update: '${tail.trim}'")
+    masked match {
+      case InsertDataRe(rest) =>
+        val (b, tail) = block(rest); requireDone(tail)
+        insertQuads(quads, dataQuads(quads.sparkSession, b))
+      case DeleteDataRe(rest) =>
+        val (b, tail) = block(rest); requireDone(tail)
+        deleteQuads(quads, dataQuads(quads.sparkSession, b))
+      case DeleteWhereRe(rest) =>
+        val (b, tail) = block(rest); requireDone(tail)
+        deleteQuads(quads, instantiateQuads(compileBody(quads, b), parseTemplateBlock(b)))
+      case DeleteHeadRe(rest) =>
+        val (delB, afterDel) = block(rest)
+        val (insB, afterTmpl) = afterDel match {
+          case InsertHeadRe(r2) =>
+            val (b, t) = block(r2); (Some(b), t)
+          case other => (None, other)
+        }
+        val whereB = afterTmpl match {
+          case WhereTailRe(r3) =>
+            val (b, tail) = block(r3); requireDone(tail); b
+          case other => throw new IllegalArgumentException(
+            s"expected WHERE after the update template(s): '${other.trim}'")
+        }
+        val bindings = compileBody(quads, whereB)
+        val afterDelete = deleteQuads(quads, instantiateQuads(bindings, parseTemplateBlock(delB)))
+        insB.fold(afterDelete)(b =>
+          insertQuads(afterDelete, instantiateQuads(bindings, parseTemplateBlock(b))))
+      case InsertHeadRe(rest) =>
+        val (insB, afterIns) = block(rest)
+        val whereB = afterIns match {
+          case WhereTailRe(r2) =>
+            val (b, tail) = block(r2); requireDone(tail); b
+          case other => throw new IllegalArgumentException(
+            s"expected WHERE after the INSERT template: '${other.trim}'")
+        }
+        insertQuads(quads, instantiateQuads(compileBody(quads, whereB), parseTemplateBlock(insB)))
+      case _ => throw new IllegalArgumentException(
+        s"updateQuery expects INSERT DATA / DELETE DATA / DELETE WHERE / " +
+          s"DELETE/INSERT … WHERE, got '${text.trim.take(80)}'")
+    }
   }
 }

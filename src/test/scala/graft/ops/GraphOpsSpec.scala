@@ -1080,4 +1080,121 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(ivf == brute, "nprobe = nlist must reduce to exact top-k")
   }
+
+  // ------------------------------------------------------ SPARQL Update
+
+  private def asSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+
+  test("updateQuery INSERT DATA: set semantics, typed literals, existing triple is a no-op") {
+    val kg = quads(("s1", "p:name", "ann", XsdString), ("s1", "p:knows", "s2", ""))
+    val got = asSet(GraphOps.updateQuery(kg,
+      """INSERT DATA {
+        |  <s1> <p:name> "ann" .
+        |  <s2> <p:age> "30"^^<http://www.w3.org/2001/XMLSchema#integer> .
+        |  <s2> <p:knows> <s1> }""".stripMargin))
+    assert(got == Set(
+      ("s1", "p:name", "ann", XsdString),
+      ("s1", "p:knows", "s2", ""),
+      ("s2", "p:age", "30", XsdInteger),
+      ("s2", "p:knows", "s1", "")))
+  }
+
+  test("updateQuery DELETE DATA removes on (subj,pred,obj) identity; absent triple is a no-op") {
+    val kg = quads(("s1", "p:name", "ann", XsdString), ("s1", "p:knows", "s2", ""))
+    val got = asSet(GraphOps.updateQuery(kg,
+      """DELETE DATA { <s1> <p:name> "ann" . <s9> <p:name> "ghost" }"""))
+    assert(got == Set(("s1", "p:knows", "s2", "")))
+  }
+
+  test("updateQuery DELETE WHERE: pattern block doubles as the delete template") {
+    val kg = quads(
+      ("s1", "p:knows", "s2", ""), ("s2", "p:knows", "s3", ""),
+      ("s1", "p:name", "ann", XsdString))
+    val got = asSet(GraphOps.updateQuery(kg, "DELETE WHERE { ?a <p:knows> ?b }"))
+    assert(got == Set(("s1", "p:name", "ann", XsdString)))
+  }
+
+  test("updateQuery DELETE/INSERT WHERE: both templates see pre-update solutions, delete first") {
+    val kg = quads(("c1", "p:in", "n1", ""), ("c2", "p:in", "n1", ""), ("c3", "p:in", "n2", ""))
+    val got = asSet(GraphOps.updateQuery(kg,
+      """DELETE { ?c <p:in> <n1> } INSERT { ?c <p:in> <n2> }
+        |WHERE { ?c <p:in> <n1> }""".stripMargin))
+    assert(got == Set(("c1", "p:in", "n2", ""), ("c2", "p:in", "n2", ""), ("c3", "p:in", "n2", "")))
+  }
+
+  test("updateQuery INSERT WHERE derives new triples; set-dedup against existing") {
+    val kg = quads(
+      ("c1", "p:in", "n1", ""), ("n1", "p:part", "r1", ""),
+      ("c1", "p:reg", "r1", ""))
+    val got = asSet(GraphOps.updateQuery(kg,
+      "INSERT { ?c <p:reg> ?r } WHERE { ?c <p:in> ?n . ?n <p:part> ?r }"))
+    assert(got == Set(
+      ("c1", "p:in", "n1", ""), ("n1", "p:part", "r1", ""), ("c1", "p:reg", "r1", "")))
+  }
+
+  test("updateQuery rejects variables in DATA blocks, unbound template vars, and paths in templates") {
+    val kg = quads(("s1", "p:knows", "s2", ""))
+    assert(intercept[IllegalArgumentException] {
+      GraphOps.updateQuery(kg, "INSERT DATA { ?s <p:x> <o> }")
+    }.getMessage.contains("variable-free"))
+    assert(intercept[IllegalArgumentException] {
+      GraphOps.updateQuery(kg, "INSERT { ?a <p:x> ?nope } WHERE { ?a <p:knows> ?b }")
+    }.getMessage.contains("not bound"))
+    assert(intercept[IllegalArgumentException] {
+      GraphOps.updateQuery(kg, "DELETE WHERE { ?a <p:knows>+ ?b }")
+    }.getMessage.contains("no paths"))
+  }
+
+  test("updateQuery PREFIX expansion and FILTER in the WHERE body") {
+    val kg = quads(("s1", "urn:x#age", "4", XsdInteger), ("s2", "urn:x#age", "9", XsdInteger))
+    val got = asSet(GraphOps.updateQuery(kg,
+      """PREFIX x: <urn:x#>
+        |DELETE { ?s x:age ?a } WHERE { ?s x:age ?a . FILTER(?a >= 5) }""".stripMargin))
+    assert(got == Set(("s1", "urn:x#age", "4", XsdInteger)))
+  }
+
+  test("pageRank: mass conserved, dangling handled, bit-identical across partitionings") {
+    val sp = spark; import sp.implicits._
+    // star + dangling sink: a,b,c -> d; d has no out-edges
+    val edges = Seq(("a", "d"), ("b", "d"), ("c", "d"), ("a", "b"))
+      .toDF("src", "dst")
+    val r1 = GraphOps.pageRank(edges, iterations = 4)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    // rank mass conserved up to quantization
+    assert(math.abs(r1.values.sum - 1.0) < 1e-6, s"mass ${r1.values.sum}")
+    // d collects from three sources: strictly the max
+    assert(r1("d") > r1("a") && r1("d") > r1("b") && r1("d") > r1("c"))
+    // b gets a's split contribution: above the source-only floor
+    assert(r1("b") > r1("c"))
+    val r2 = GraphOps.pageRank(edges.repartition(7), iterations = 4)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(r1 == r2, "quantized sums must make ranks partition-invariant")
+  }
+
+  test("MD5 / SHA256 value functions emit lowercase hex digests") {
+    val kg = quads(("s1", "p:name", "ann", XsdString))
+    val got = GraphOps.select(kg,
+      """SELECT (MD5(?v) AS ?m) (SHA256(?v) AS ?s) WHERE { ?x <p:name> ?v }""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq((md5Hex("ann"), sha256Hex("ann"))))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("numeric functions ABS/ROUND/CEIL/FLOOR; ROUND is half-up") {
+    val kg = quads(
+      ("n1", "p:v", "-3", XsdInteger), ("n2", "p:v", "5", XsdInteger))
+    val got = GraphOps.select(kg,
+      """SELECT ?n (ABS(?v) AS ?a) (ROUND(?v / 2) AS ?r) (CEIL(?v / 2) AS ?c) (FLOOR(?v / 2) AS ?f)
+        |WHERE { ?n <p:v> ?v } ORDER BY ?n""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSeq
+    // -3/2 = -1.5: half-up ROUND → -1 (floor(-1.0)), CEIL → -1, FLOOR → -2
+    assert(got == Seq(("n1", 3.0, -1.0, -1.0, -2.0), ("n2", 5.0, 3.0, 3.0, 2.0)))
+  }
 }
