@@ -533,6 +533,42 @@ object SparkEntry {
         |       (CEIL(?rk / 2) AS ?chalf) (ROUND(?rk / 3) AS ?third)
         |WHERE { ?n <urn:dm:nation#n_regionkey> ?rk } ORDER BY ?n""".stripMargin)
 
+  /** owl:sameAs entity resolution ([[GraphOps.resolveSameAs]]): each
+    * nation gets a 2-hop alias chain `urn:x:… sameAs urn:y:… sameAs
+    * urn:dm:…` (multi-round propagation), an alias-held name triple that
+    * must COLLAPSE into the canonical node's existing one (set
+    * semantics), a fresh alias-held label that must LAND on the
+    * canonical node (subject rewrite), and per-supplier reference edges
+    * pointing AT aliases (object rewrite). Gated on the per-predicate
+    * profile with min/max subj+obj — wrong canon choice, missed rewrite,
+    * missed dedup, or surviving sameAs rows all shift a value.
+    */
+  def kgSameAsResolution(spark: SparkSession, dir: String): DataFrame = {
+    import GraphOps._
+    val nation = t(spark, dir, "nation")
+    val supplier = t(spark, dir, "supplier")
+    def nIri(prefix: String) = concat(lit(prefix), col("n_nationkey"))
+    val alias = nation.select(nIri("urn:x:nation/").as("subj"),
+        lit(OwlSameAs).as("pred"), nIri("urn:y:nation/").as("obj"), lit("").as("dt"))
+      .unionByName(nation.select(nIri("urn:y:nation/").as("subj"),
+        lit(OwlSameAs).as("pred"), nIri("urn:dm:nation/").as("obj"), lit("").as("dt")))
+      .unionByName(nation.select(nIri("urn:x:nation/").as("subj"),
+        lit("urn:dm:nation#n_name").as("pred"), col("n_name").as("obj"),
+        lit(GraphOps.XsdString).as("dt")))
+      .unionByName(nation.select(nIri("urn:x:nation/").as("subj"),
+        lit("urn:voc:label").as("pred"), concat(lit("alias-"), col("n_name")).as("obj"),
+        lit(GraphOps.XsdString).as("dt")))
+      .unionByName(supplier.select(
+        concat(lit("urn:dm:supplier/"), col("s_suppkey")).as("subj"),
+        lit("urn:voc:altNation").as("pred"),
+        concat(lit("urn:x:nation/"), col("s_nationkey")).as("obj"), lit("").as("dt")))
+    GraphOps.resolveSameAs(kgTriples(spark, dir).unionByName(alias))
+      .groupBy(col("pred"))
+      .agg(count(lit(1)).as("n_triples"), countDistinct(col("subj")).as("n_subj"),
+        min(col("subj")).as("min_subj"), max(col("obj")).as("max_obj"))
+      .orderBy("pred")
+  }
+
   /** Incremental ingest: the prior run's manifest covers all docs except
     * doc_id % 10 == 3; only the 10% delta flows through the pipeline.
     */
@@ -1112,6 +1148,7 @@ object SparkEntry {
     "kg_update_delete_where" -> (kgUpdateDeleteWhere(_, _)),
     "kg_update_modify" -> (kgUpdateModify(_, _)),
     "kg_numeric_fns" -> (kgNumericFns(_, _)),
+    "kg_sameas_resolution" -> (kgSameAsResolution(_, _)),
     "kg_pagerank" -> (kgPageRank(_, _)),
     "kg_hash_funcs" -> (kgHashFuncs(_, _)),
     "kg_reachability" -> (kgReachability(_, _)),
@@ -1429,6 +1466,42 @@ object SparkEntry {
         |  CAST(ceil(n_regionkey / 2) AS DOUBLE) AS chalf,
         |  CAST(floor(n_regionkey / 3 + 0.5) AS DOUBLE) AS third
         |FROM nation ORDER BY n""".stripMargin,
+    // sameAs resolution replayed declaratively: recursive-CTE reachability
+    // over the symmetrized sameAs subgraph, canon = min reachable IRI
+    // (incl. self), rewrite subj + IRI obj through the mapping, drop the
+    // sameAs rows, SELECT DISTINCT for set semantics — an independent
+    // fixpoint formulation of the engine's label-propagation + broadcast
+    // rewrite + targeted anti-join plan
+    "kg_sameas_resolution" ->
+      s"""WITH RECURSIVE $kgQuadsCte,
+         |alias(subj, pred, obj, dt) AS (
+         |  SELECT 'urn:x:nation/'||n_nationkey, '${GraphOps.OwlSameAs}',
+         |    'urn:y:nation/'||n_nationkey, '' FROM nation
+         |  UNION ALL SELECT 'urn:y:nation/'||n_nationkey, '${GraphOps.OwlSameAs}',
+         |    'urn:dm:nation/'||n_nationkey, '' FROM nation
+         |  UNION ALL SELECT 'urn:x:nation/'||n_nationkey, 'urn:dm:nation#n_name',
+         |    n_name, '$XsdString' FROM nation
+         |  UNION ALL SELECT 'urn:x:nation/'||n_nationkey, 'urn:voc:label',
+         |    'alias-'||n_name, '$XsdString' FROM nation
+         |  UNION ALL SELECT 'urn:dm:supplier/'||s_suppkey, 'urn:voc:altNation',
+         |    'urn:x:nation/'||s_nationkey, '' FROM supplier),
+         |g AS (SELECT * FROM kg UNION ALL SELECT * FROM alias),
+         |sa(a, b) AS (
+         |  SELECT subj, obj FROM g WHERE pred = '${GraphOps.OwlSameAs}' AND dt = ''
+         |  UNION SELECT obj, subj FROM g WHERE pred = '${GraphOps.OwlSameAs}' AND dt = ''),
+         |reach(a, b) AS (SELECT a, b FROM sa
+         |  UNION SELECT reach.a, sa.b FROM reach JOIN sa ON sa.a = reach.b),
+         |canon AS (SELECT a AS iri, min(b) AS c FROM (
+         |  SELECT a, b FROM reach UNION ALL SELECT DISTINCT a, a FROM sa) GROUP BY a),
+         |resolved AS (SELECT DISTINCT
+         |    COALESCE(cs.c, g.subj) AS subj, g.pred,
+         |    CASE WHEN g.dt = '' THEN COALESCE(co.c, g.obj) ELSE g.obj END AS obj, g.dt
+         |  FROM g LEFT JOIN canon cs ON g.subj = cs.iri
+         |         LEFT JOIN canon co ON g.dt = '' AND g.obj = co.iri
+         |  WHERE g.pred <> '${GraphOps.OwlSameAs}')
+         |SELECT pred, count(*) AS n_triples, count(DISTINCT subj) AS n_subj,
+         |  min(subj) AS min_subj, max(obj) AS max_obj
+         |FROM resolved GROUP BY pred ORDER BY pred""".stripMargin,
     "kg_describe" ->
       s"""WITH $kgQuadsCte
          |SELECT subj, pred, obj, dt FROM kg

@@ -1865,6 +1865,98 @@ object GraphOps {
     ranks
   }
 
+  val OwlSameAs = "http://www.w3.org/2002/07/owl#sameAs"
+
+  /** owl:sameAs entity resolution — the KG-construction step that fuses
+    * aliases of one real-world entity into a single node. sameAs edges
+    * (`?a <owl:sameAs> ?b`, both ends IRIs) span an equivalence relation,
+    * so:
+    *
+    *  1. connected components over the symmetrized sameAs subgraph by
+    *     min-label propagation; each clique's canonical representative is
+    *     its lexicographically SMALLEST IRI — deterministic and
+    *     engine-independent, which is what makes the whole op
+    *     value-gateable against a declarative recursive-CTE oracle;
+    *  2. every quad's subject — and IRI object (`dt = ""`; literals whose
+    *     lexical form happens to equal an alias IRI are NOT touched — is
+    *     rewritten through the (alias → canonical) mapping;
+    *  3. the sameAs triples themselves are dropped (their information now
+    *     lives in the merged node identity), and rewrites that collide
+    *     with triples the graph already holds — or with each other —
+    *     collapse to one (set semantics).
+    *
+    * Scale shape: in a real corpus the sameAs subgraph is a small
+    * fraction of the graph (a link-discovery / record-linkage output), so
+    * the clique mapping BROADCASTS: the full graph is touched only by
+    * broadcast-hash joins — the rewrite pass is map-side — and set-dedup
+    * probes the small rewritten slice against the (broadcast) collidable
+    * slice of the untouched graph, never a whole-graph `distinct()`.
+    * Label-propagation rounds are equi-joins over the alias subgraph
+    * alone; labels only ever decrease lexicographically, so "no row
+    * changed" (one small join per round) is the fixpoint test. A mapping
+    * too big to broadcast (pathological: most nodes are aliases) degrades
+    * to shuffle joins with the same plan. Raises on non-convergence
+    * rather than returning partially-merged identities.
+    */
+  def resolveSameAs(quads: DataFrame, sameAsPred: String = OwlSameAs,
+                    maxIterations: Int = 20): DataFrame = {
+    val edges = quads
+      .filter(col("pred") === sameAsPred && col("dt") === "")
+      .select(col("subj").as("a"), col("obj").as("b"))
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("component")).localCheckpoint()
+    var converged = labels.isEmpty
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val prop = sym.join(labels, sym("a") === labels("id"))
+        .select(col("b").as("id"), col("component"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.component") =!= col("o.component"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"resolveSameAs did not converge in $maxIterations rounds " +
+          "(adversarially long sameAs chain?) — raise maxIterations")
+    val mapping = labels.filter(col("id") =!= col("component"))
+    val noSameAs = quads.filter(col("pred") =!= sameAsPred)
+    val joined = noSameAs
+      .join(broadcast(mapping.select(col("id").as("s_alias"),
+        col("component").as("s_canon"))), col("subj") === col("s_alias"), "left")
+      .join(broadcast(mapping.select(col("id").as("o_alias"),
+        col("component").as("o_canon"))),
+        col("obj") === col("o_alias") && col("dt") === "", "left")
+    val untouched = joined
+      .filter(col("s_canon").isNull && col("o_canon").isNull)
+      .select(col("subj"), col("pred"), col("obj"), col("dt"))
+    val rewritten = joined
+      .filter(col("s_canon").isNotNull || col("o_canon").isNotNull)
+      .select(coalesce(col("s_canon"), col("subj")).as("subj"), col("pred"),
+        coalesce(col("o_canon"), col("obj")).as("obj"), col("dt"))
+      .distinct()
+    // a rewritten triple can only equal an untouched one if the untouched
+    // row's subject is canonical, or its IRI object is — both slices are
+    // broadcast-semi-join-selectable and small (sized by the alias
+    // cliques, not the graph)
+    val canonSet = mapping.select(col("component").as("c")).distinct()
+    val collidable = untouched
+      .join(broadcast(canonSet), col("subj") === col("c"), "left_semi")
+      .union(untouched.join(broadcast(canonSet),
+        col("obj") === col("c") && col("dt") === "", "left_semi"))
+      .distinct()
+    untouched.union(
+      rewritten.join(broadcast(collidable),
+        Seq("subj", "pred", "obj", "dt"), "left_anti"))
+  }
+
   /** Transitive closure of a directed edge list (`src`, `dst`) by
     * iterative doubling: after round i the path set covers all lengths up
     * to 2^i, so a diameter-D graph converges in ⌈log₂ D⌉ + 1 rounds —

@@ -1197,4 +1197,36 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // -3/2 = -1.5: half-up ROUND → -1 (floor(-1.0)), CEIL → -1, FLOOR → -2
     assert(got == Seq(("n1", 3.0, -1.0, -1.0, -2.0), ("n2", 5.0, 3.0, 3.0, 2.0)))
   }
+
+  // --------------------------------------------- sameAs entity resolution
+
+  test("resolveSameAs: chain clique merges to lexicographic min, sameAs rows dropped, dedup") {
+    val kg = quads(
+      ("n:b", GraphOps.OwlSameAs, "n:c", ""),
+      ("n:c", GraphOps.OwlSameAs, "n:a", ""),       // chain b–c–a: clique {a,b,c} → canon n:a
+      ("n:a", "p:name", "ann", XsdString),
+      ("n:b", "p:name", "ann", XsdString),          // collides with n:a's after rewrite
+      ("n:c", "p:note", "extra", XsdString),        // fresh triple landing on n:a
+      ("d:1", "p:ref", "n:b", ""),                  // IRI object rewritten
+      ("d:1", "p:tag", "n:b", XsdString))           // literal that LOOKS like the alias — untouched
+    val got = asSet(GraphOps.resolveSameAs(kg))
+    assert(got == Set(
+      ("n:a", "p:name", "ann", XsdString),
+      ("n:a", "p:note", "extra", XsdString),
+      ("d:1", "p:ref", "n:a", ""),
+      ("d:1", "p:tag", "n:b", XsdString)))
+  }
+
+  test("resolveSameAs: no sameAs edges is the identity; two disjoint cliques stay disjoint") {
+    val plain = quads(("s", "p:x", "o", ""))
+    assert(asSet(GraphOps.resolveSameAs(plain)) == Set(("s", "p:x", "o", "")))
+    val two = quads(
+      ("x:2", GraphOps.OwlSameAs, "x:1", ""),
+      ("y:2", GraphOps.OwlSameAs, "y:1", ""),
+      ("x:2", "p:v", "1", XsdInteger),
+      ("y:2", "p:v", "2", XsdInteger))
+    assert(asSet(GraphOps.resolveSameAs(two)) == Set(
+      ("x:1", "p:v", "1", XsdInteger),
+      ("y:1", "p:v", "2", XsdInteger)))
+  }
 }
