@@ -569,6 +569,44 @@ object SparkEntry {
       .orderBy("pred")
   }
 
+  /** RDFS materialization ([[GraphOps.rdfsMaterialize]]) over the KG plus
+    * a small ontology: customers/suppliers get asserted types with a
+    * 2-hop subClassOf chain above them, the two FK reference predicates
+    * are sub-properties of `locatedIn ⊑ relatedTo` (2-hop property
+    * chain), and `locatedIn` carries a domain AND a range whose range
+    * class has its own superclass — so rdfs7 fires through the closure,
+    * rdfs2/3 fire on DERIVED triples, and rdfs9 fires on rdfs3's output.
+    * Gated on the per-key census (`type:<class>` / predicate → triple +
+    * subject counts): every rule's output is a distinct key row.
+    */
+  def kgRdfsInference(spark: SparkSession, dir: String): DataFrame = {
+    import GraphOps.{RdfTypeIri, RdfsSubClassOf, RdfsSubPropertyOf, RdfsDomain, RdfsRange}
+    import spark.implicits._
+    val types = t(spark, dir, "customer").select(
+        concat(lit("urn:dm:customer/"), col("c_custkey")).as("subj"),
+        lit(RdfTypeIri).as("pred"), lit("urn:voc:Customer").as("obj"), lit("").as("dt"))
+      .unionByName(t(spark, dir, "supplier").select(
+        concat(lit("urn:dm:supplier/"), col("s_suppkey")).as("subj"),
+        lit(RdfTypeIri).as("pred"), lit("urn:voc:Supplier").as("obj"), lit("").as("dt")))
+    val schema = Seq(
+      ("urn:voc:Customer", RdfsSubClassOf, "urn:voc:BusinessEntity", ""),
+      ("urn:voc:Supplier", RdfsSubClassOf, "urn:voc:BusinessEntity", ""),
+      ("urn:voc:BusinessEntity", RdfsSubClassOf, "urn:voc:Entity", ""),
+      ("urn:dm:customer#ref-c_nationkey", RdfsSubPropertyOf, "urn:voc:locatedIn", ""),
+      ("urn:dm:supplier#ref-s_nationkey", RdfsSubPropertyOf, "urn:voc:locatedIn", ""),
+      ("urn:voc:locatedIn", RdfsSubPropertyOf, "urn:voc:relatedTo", ""),
+      ("urn:voc:locatedIn", RdfsDomain, "urn:voc:Locatable", ""),
+      ("urn:voc:locatedIn", RdfsRange, "urn:voc:Place", ""),
+      ("urn:voc:Place", RdfsSubClassOf, "urn:voc:Location", ""))
+      .toDF("subj", "pred", "obj", "dt")
+    GraphOps.rdfsMaterialize(
+        kgTriples(spark, dir).unionByName(types).unionByName(schema))
+      .groupBy(when(col("pred") === RdfTypeIri, concat(lit("type:"), col("obj")))
+        .otherwise(col("pred")).as("key"))
+      .agg(count(lit(1)).as("n_triples"), countDistinct(col("subj")).as("n_subj"))
+      .orderBy("key")
+  }
+
   /** Incremental ingest: the prior run's manifest covers all docs except
     * doc_id % 10 == 3; only the 10% delta flows through the pipeline.
     */
@@ -1149,6 +1187,7 @@ object SparkEntry {
     "kg_update_modify" -> (kgUpdateModify(_, _)),
     "kg_numeric_fns" -> (kgNumericFns(_, _)),
     "kg_sameas_resolution" -> (kgSameAsResolution(_, _)),
+    "kg_rdfs_inference" -> (kgRdfsInference(_, _)),
     "kg_pagerank" -> (kgPageRank(_, _)),
     "kg_hash_funcs" -> (kgHashFuncs(_, _)),
     "kg_reachability" -> (kgReachability(_, _)),
@@ -1502,6 +1541,57 @@ object SparkEntry {
          |SELECT pred, count(*) AS n_triples, count(DISTINCT subj) AS n_subj,
          |  min(subj) AS min_subj, max(obj) AS max_obj
          |FROM resolved GROUP BY pred ORDER BY pred""".stripMargin,
+    // RDFS ρdf materialization replayed declaratively: recursive-CTE
+    // closures of the schema graphs, then each rule (rdfs7 on the
+    // closure, rdfs2/3 on the extended set, rdfs9 on all type triples)
+    // as a join, DISTINCT for set semantics — the engine's stratified
+    // broadcast plan against an independent fixpoint formulation
+    "kg_rdfs_inference" -> {
+      val T = GraphOps.RdfTypeIri
+      val SPO = GraphOps.RdfsSubPropertyOf; val SCO = GraphOps.RdfsSubClassOf
+      val DOM = GraphOps.RdfsDomain; val RNG = GraphOps.RdfsRange
+      s"""WITH RECURSIVE $kgQuadsCte,
+         |extra(subj, pred, obj, dt) AS (
+         |  SELECT 'urn:dm:customer/'||c_custkey, '$T', 'urn:voc:Customer', '' FROM customer
+         |  UNION ALL SELECT 'urn:dm:supplier/'||s_suppkey, '$T', 'urn:voc:Supplier', '' FROM supplier
+         |  UNION ALL SELECT * FROM (VALUES
+         |    ('urn:voc:Customer', '$SCO', 'urn:voc:BusinessEntity', ''),
+         |    ('urn:voc:Supplier', '$SCO', 'urn:voc:BusinessEntity', ''),
+         |    ('urn:voc:BusinessEntity', '$SCO', 'urn:voc:Entity', ''),
+         |    ('urn:dm:customer#ref-c_nationkey', '$SPO', 'urn:voc:locatedIn', ''),
+         |    ('urn:dm:supplier#ref-s_nationkey', '$SPO', 'urn:voc:locatedIn', ''),
+         |    ('urn:voc:locatedIn', '$SPO', 'urn:voc:relatedTo', ''),
+         |    ('urn:voc:locatedIn', '${DOM}', 'urn:voc:Locatable', ''),
+         |    ('urn:voc:locatedIn', '${RNG}', 'urn:voc:Place', ''),
+         |    ('urn:voc:Place', '$SCO', 'urn:voc:Location', ''))),
+         |g AS (SELECT * FROM kg UNION ALL SELECT * FROM extra),
+         |spo(p, q) AS (SELECT subj, obj FROM g WHERE pred = '$SPO' AND dt = ''
+         |  UNION SELECT spo.p, g.obj FROM spo
+         |    JOIN g ON g.pred = '$SPO' AND g.dt = '' AND g.subj = spo.q),
+         |sco(c, d) AS (SELECT subj, obj FROM g WHERE pred = '$SCO' AND dt = ''
+         |  UNION SELECT sco.c, g.obj FROM sco
+         |    JOIN g ON g.pred = '$SCO' AND g.dt = '' AND g.subj = sco.d),
+         |ext AS (SELECT subj, pred, obj, dt FROM g
+         |  UNION ALL SELECT g.subj, spo.q, g.obj, g.dt FROM g JOIN spo ON g.pred = spo.p),
+         |t2 AS (SELECT ext.subj AS subj, '$T' AS pred, d.c AS obj, '' AS dt FROM ext
+         |  JOIN (SELECT subj AS p, obj AS c FROM g WHERE pred = '${DOM}' AND dt = '') d
+         |  ON ext.pred = d.p),
+         |t3 AS (SELECT ext.obj AS subj, '$T' AS pred, r.c AS obj, '' AS dt FROM ext
+         |  JOIN (SELECT subj AS p, obj AS c FROM g WHERE pred = '${RNG}' AND dt = '') r
+         |  ON ext.pred = r.p AND ext.dt = ''),
+         |ta(subj, cls) AS (SELECT subj, obj FROM ext WHERE pred = '$T'
+         |  UNION ALL SELECT subj, obj FROM t2 UNION ALL SELECT subj, obj FROM t3),
+         |t9 AS (SELECT ta.subj AS subj, '$T' AS pred, sco.d AS obj, '' AS dt
+         |  FROM ta JOIN sco ON ta.cls = sco.c),
+         |clo AS (SELECT p AS subj, '$SPO' AS pred, q AS obj, '' AS dt FROM spo
+         |  UNION ALL SELECT c, '$SCO', d, '' FROM sco),
+         |allq AS (SELECT DISTINCT subj, pred, obj, dt FROM (
+         |  SELECT * FROM ext UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3
+         |  UNION ALL SELECT * FROM t9 UNION ALL SELECT * FROM clo))
+         |SELECT CASE WHEN pred = '$T' THEN 'type:'||obj ELSE pred END AS key,
+         |  count(*) AS n_triples, count(DISTINCT subj) AS n_subj
+         |FROM allq GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "kg_describe" ->
       s"""WITH $kgQuadsCte
          |SELECT subj, pred, obj, dt FROM kg

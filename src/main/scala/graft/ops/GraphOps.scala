@@ -1957,6 +1957,85 @@ object GraphOps {
         Seq("subj", "pred", "obj", "dt"), "left_anti"))
   }
 
+  val RdfsSubClassOf = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+  val RdfsSubPropertyOf = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
+  val RdfsDomain = "http://www.w3.org/2000/01/rdf-schema#domain"
+  val RdfsRange = "http://www.w3.org/2000/01/rdf-schema#range"
+
+  /** RDFS forward-chaining materialization over the ρdf fragment (the
+    * minimal RDFS of Muñoz, Pérez & Gutierrez: subClassOf /
+    * subPropertyOf / domain / range / type — the rules that matter for
+    * KG construction), stratified so ONE pass reaches the fixpoint:
+    *
+    *  1. transitive closure of the (tiny) subPropertyOf and subClassOf
+    *     schema graphs — [[transitiveClosure]], log-rounds doubling;
+    *  2. rdfs7: `(x p y), p ⊑ q ⟹ (x q y)` — instance triples
+    *     broadcast-joined against the subPropertyOf closure;
+    *  3. rdfs2/rdfs3: domain typing over the rdfs7-EXTENDED triple set
+    *     (a domain on a super-property types subjects reached through
+    *     derived triples too); range typing only for IRI objects
+    *     (`dt = ""` — literals are never typed);
+    *  4. rdfs9: `(x type c), c ⊑ d ⟹ (x type d)` over ALL type triples
+    *     — asserted, rdfs7-derived (a property may be sub-property OF
+    *     rdf:type), and the fresh domain/range ones;
+    *  5. derived closure triples (p ⊑⁺ q, c ⊑⁺ d) join the output.
+    *
+    * This stratification is complete for ρdf because no instance rule
+    * derives schema triples — the standard no-meta-schema assumption
+    * (a property that is itself sub-property of rdfs:domain etc. is out
+    * of fragment, as in ter Horst's pD* treatments).
+    *
+    * Scale shape: schema graphs are vocabulary-sized (thousands of
+    * classes/properties vs billions of instance triples), so EVERY rule
+    * is a broadcast-hash join against the instance table — map-side, no
+    * instance shuffle. The one shuffle is the final set-dedup: derived
+    * triples `distinct()` then anti-join the asserted graph on
+    * (subj, pred, obj, dt) — sized by the derived set, and co-shuffle
+    * with the stored graph disappears under a (subj,pred,obj)-bucketed
+    * layout, the same contract [[resolveSameAs]] and `updateQuery`
+    * document. Output: asserted ∪ derived, a set.
+    */
+  def rdfsMaterialize(quads: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val q4 = quads.select(col("subj"), col("pred"), col("obj"), col("dt"))
+    def schemaEdges(p: String) = q4
+      .filter(col("pred") === p && col("dt") === "")
+      .select(col("subj").as("src"), col("obj").as("dst"))
+    val spoC = transitiveClosure(schemaEdges(RdfsSubPropertyOf), maxIterations)
+      .localCheckpoint()
+    val scoC = transitiveClosure(schemaEdges(RdfsSubClassOf), maxIterations)
+      .localCheckpoint()
+    val dom = q4.filter(col("pred") === RdfsDomain && col("dt") === "")
+      .select(col("subj").as("d_p"), col("obj").as("d_c"))
+    val rng = q4.filter(col("pred") === RdfsRange && col("dt") === "")
+      .select(col("subj").as("r_p"), col("obj").as("r_c"))
+    val derived7 = q4.join(broadcast(spoC), col("pred") === col("src"))
+      .select(col("subj"), col("dst").as("pred"), col("obj"), col("dt"))
+    val ext = q4.unionByName(derived7)
+    val t2 = ext.join(broadcast(dom), col("pred") === col("d_p"))
+      .select(col("subj"), lit(RdfTypeIri).as("pred"), col("d_c").as("obj"),
+        lit("").as("dt"))
+    val t3 = ext.filter(col("dt") === "")
+      .join(broadcast(rng), col("pred") === col("r_p"))
+      .select(col("obj").as("subj"), lit(RdfTypeIri).as("pred"),
+        col("r_c").as("obj"), lit("").as("dt"))
+    val typesAll = ext.filter(col("pred") === RdfTypeIri)
+      .select(col("subj"), col("obj"))
+      .unionByName(t2.select(col("subj"), col("obj")))
+      .unionByName(t3.select(col("subj"), col("obj")))
+    val t9 = typesAll.join(broadcast(scoC), col("obj") === col("src"))
+      .select(col("subj"), lit(RdfTypeIri).as("pred"), col("dst").as("obj"),
+        lit("").as("dt"))
+    val closureTriples = spoC.select(col("src").as("subj"),
+        lit(RdfsSubPropertyOf).as("pred"), col("dst").as("obj"), lit("").as("dt"))
+      .unionByName(scoC.select(col("src").as("subj"),
+        lit(RdfsSubClassOf).as("pred"), col("dst").as("obj"), lit("").as("dt")))
+    val derived = derived7.unionByName(t2).unionByName(t3).unionByName(t9)
+      .unionByName(closureTriples)
+      .distinct()
+      .join(q4, Seq("subj", "pred", "obj", "dt"), "left_anti")
+    q4.unionByName(derived)
+  }
+
   /** Transitive closure of a directed edge list (`src`, `dst`) by
     * iterative doubling: after round i the path set covers all lengths up
     * to 2^i, so a diameter-D graph converges in ⌈log₂ D⌉ + 1 rounds —

@@ -1229,4 +1229,49 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("x:1", "p:v", "1", XsdInteger),
       ("y:1", "p:v", "2", XsdInteger)))
   }
+
+  // --------------------------------------------- RDFS materialization
+
+  private val RdfType = GraphOps.RdfTypeIri
+
+  test("rdfsMaterialize: subClassOf chain, subPropertyOf chain, domain/range over derived preds") {
+    val kg = quads(
+      ("c:Cat", GraphOps.RdfsSubClassOf, "c:Animal", ""),
+      ("c:Animal", GraphOps.RdfsSubClassOf, "c:Thing", ""),
+      ("p:hasPet", GraphOps.RdfsSubPropertyOf, "p:keeps", ""),
+      ("p:keeps", GraphOps.RdfsSubPropertyOf, "p:relatedTo", ""),
+      ("p:keeps", GraphOps.RdfsDomain, "c:Keeper", ""),
+      ("p:keeps", GraphOps.RdfsRange, "c:Kept", ""),
+      ("x:tom", RdfType, "c:Cat", ""),
+      ("x:ann", "p:hasPet", "x:tom", ""),
+      ("x:ann", "p:label", "ann", XsdString))
+    val got = asSet(GraphOps.rdfsMaterialize(kg))
+    val expectedNew = Set(
+      // schema closures
+      ("c:Cat", GraphOps.RdfsSubClassOf, "c:Thing", ""),
+      ("p:hasPet", GraphOps.RdfsSubPropertyOf, "p:relatedTo", ""),
+      // rdfs7 through the 2-hop property chain
+      ("x:ann", "p:keeps", "x:tom", ""),
+      ("x:ann", "p:relatedTo", "x:tom", ""),
+      // rdfs2/rdfs3 fire on the DERIVED p:keeps triple
+      ("x:ann", RdfType, "c:Keeper", ""),
+      ("x:tom", RdfType, "c:Kept", ""),
+      // rdfs9 through the 2-hop class chain
+      ("x:tom", RdfType, "c:Animal", ""),
+      ("x:tom", RdfType, "c:Thing", ""))
+    assert(got == asSet(kg) ++ expectedNew)
+  }
+
+  test("rdfsMaterialize: literals never range-typed; derived dup of asserted collapses; no schema is identity") {
+    val kg = quads(
+      ("p:name", GraphOps.RdfsRange, "c:Name", ""),
+      ("x:a", "p:name", "bob", XsdString),         // literal object: rdfs3 must NOT fire
+      ("c:A", GraphOps.RdfsSubClassOf, "c:B", ""),
+      ("x:a", RdfType, "c:A", ""),
+      ("x:a", RdfType, "c:B", ""))                 // asserted; rdfs9 re-derives it → dedup
+    val got = asSet(GraphOps.rdfsMaterialize(kg))
+    assert(got == asSet(kg))
+    val plain = quads(("s", "p:x", "o", ""))
+    assert(asSet(GraphOps.rdfsMaterialize(plain)) == Set(("s", "p:x", "o", "")))
+  }
 }
