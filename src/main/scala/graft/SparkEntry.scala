@@ -607,6 +607,21 @@ object SparkEntry {
       .orderBy("key")
   }
 
+  /** Level-synchronous BFS ([[GraphOps.shortestPaths]]) from the document
+    * tree's root over parent→child edges — the per-depth census of the
+    * corpus tree, value-gated on node counts plus min/max ids per level.
+    */
+  def kgShortestPath(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = t(spark, dir, "documents").filter(col("doc_id") > 0)
+      .select(expr("doc_id div 2").as("src"), col("doc_id").as("dst"))
+    GraphOps.shortestPaths(edges, Seq(0L).toDF("node"))
+      .groupBy(col("distance"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
+        max(col("node")).as("max_node"))
+      .orderBy("distance")
+  }
+
   /** Incremental ingest: the prior run's manifest covers all docs except
     * doc_id % 10 == 3; only the 10% delta flows through the pipeline.
     */
@@ -1188,6 +1203,7 @@ object SparkEntry {
     "kg_numeric_fns" -> (kgNumericFns(_, _)),
     "kg_sameas_resolution" -> (kgSameAsResolution(_, _)),
     "kg_rdfs_inference" -> (kgRdfsInference(_, _)),
+    "kg_shortest_path" -> (kgShortestPath(_, _)),
     "kg_pagerank" -> (kgPageRank(_, _)),
     "kg_hash_funcs" -> (kgHashFuncs(_, _)),
     "kg_reachability" -> (kgReachability(_, _)),
@@ -1592,6 +1608,18 @@ object SparkEntry {
          |  count(*) AS n_triples, count(DISTINCT subj) AS n_subj
          |FROM allq GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    // BFS distances replayed as recursive path enumeration — the doc
+    // parent relation is a tree, so each node is reached exactly once
+    // and the recursive CTE's depth IS the BFS distance
+    "kg_shortest_path" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id // 2 AS src, doc_id AS dst FROM documents WHERE doc_id > 0),
+        |d(node, distance) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION ALL SELECT e.dst, d.distance + 1 FROM d JOIN e ON e.src = d.node)
+        |SELECT distance, count(*) AS n_nodes, min(node) AS min_node,
+        |  max(node) AS max_node
+        |FROM d GROUP BY distance ORDER BY distance""".stripMargin,
     "kg_describe" ->
       s"""WITH $kgQuadsCte
          |SELECT subj, pred, obj, dt FROM kg

@@ -2036,6 +2036,55 @@ object GraphOps {
     q4.unionByName(derived)
   }
 
+  /** Single-source-set shortest HOP distances by level-synchronous BFS:
+    * round d's frontier is exactly the set of nodes first reached at
+    * distance d, so no per-node min() is ever needed — a node entering
+    * the frontier IS at its shortest distance, and the anti-join against
+    * the settled set both deduplicates and terminates. Rounds =
+    * eccentricity of the source set; each round is one equi-join of the
+    * (shrinking) frontier against the edge table plus one anti-join
+    * against the settled table — all keyed on the uniform node id, with
+    * lineage cut per round. Converges when the frontier empties; raises
+    * if `maxIterations` rounds still have live frontier (disconnected
+    * remainder is fine — unreached nodes simply don't appear).
+    *
+    * At 10^12 edges this is the textbook Pregel-style BFS as relational
+    * rounds: co-partition the stored edge table by `src` and the
+    * per-round join is shuffle-free on the edge side; the settled table
+    * grows monotonically and only ever probes an anti-join. For graphs
+    * whose diameter is large AND whose closure is small,
+    * [[transitiveClosure]]'s doubling reaches fixpoint in log-rounds
+    * instead — BFS wins when the reachable set is wide but shallow,
+    * closure when deep but narrow.
+    *
+    * Output: (node, distance) for every node reachable from `sources`
+    * (`node` column), sources themselves at distance 0.
+    */
+  def shortestPaths(edges0: DataFrame, sources: DataFrame,
+                    maxIterations: Int = 30): DataFrame = {
+    val edges = edges0.select(col("src"), col("dst")).distinct().localCheckpoint()
+    var dist = sources.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("distance")).localCheckpoint()
+    var frontier = dist
+    var i = 0
+    var live = !frontier.isEmpty
+    while (live && i < maxIterations) {
+      frontier = frontier.join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node"), (col("distance") + 1).as("distance"))
+        .distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .localCheckpoint()
+      live = !frontier.isEmpty
+      if (live) dist = dist.union(frontier).localCheckpoint()
+      i += 1
+    }
+    if (live)
+      throw new IllegalStateException(
+        s"shortestPaths frontier still live after $maxIterations rounds " +
+          "(eccentricity exceeds the bound) — raise maxIterations")
+    dist
+  }
+
   /** Transitive closure of a directed edge list (`src`, `dst`) by
     * iterative doubling: after round i the path set covers all lengths up
     * to 2^i, so a diameter-D graph converges in ⌈log₂ D⌉ + 1 rounds —

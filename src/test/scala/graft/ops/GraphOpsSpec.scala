@@ -1274,4 +1274,29 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plain = quads(("s", "p:x", "o", ""))
     assert(asSet(GraphOps.rdfsMaterialize(plain)) == Set(("s", "p:x", "o", "")))
   }
+
+  // --------------------------------------------------------- BFS distances
+
+  test("shortestPaths: level-synchronous BFS takes the shortest of two routes; unreachable absent") {
+    val sp = spark; import sp.implicits._
+    // diamond a→b→d, a→c→d→e plus a long detour a→x→y→d and an island z→w
+    val edges = Seq(("a", "b"), ("b", "d"), ("a", "c"), ("c", "d"), ("d", "e"),
+      ("a", "x"), ("x", "y"), ("y", "d"), ("z", "w")).toDF("src", "dst")
+    val got = GraphOps.shortestPaths(edges, Seq("a").toDF("node"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "x" -> 1L,
+      "d" -> 2L, "y" -> 2L, "e" -> 3L))
+  }
+
+  test("shortestPaths: multi-source min, cycle terminates, raises when maxIterations too low") {
+    val sp = spark; import sp.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val got = GraphOps.shortestPaths(edges, Seq("a", "c").toDF("node"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("a" -> 0L, "c" -> 0L, "b" -> 1L))
+    val chain = Seq(("1", "2"), ("2", "3"), ("3", "4")).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      GraphOps.shortestPaths(chain, Seq("1").toDF("node"), maxIterations = 2)
+    }
+  }
 }
