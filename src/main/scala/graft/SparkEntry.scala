@@ -622,6 +622,32 @@ object SparkEntry {
       .orderBy("distance")
   }
 
+  /** IRI minting — `BIND(IRI(CONCAT(…)) AS ?node)` forges new node
+    * identities from literal values and a CONSTRUCT template emits
+    * triples under them: the grammar-level re-keying primitive of KG
+    * construction (every minted subject is a new IRI derived from data).
+    */
+  def kgIriMint(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.constructQuery(kgTriples(spark, dir),
+      """CONSTRUCT { ?node <urn:voc:officialName> ?name .
+        |            ?node <urn:voc:dmNode> ?n }
+        |WHERE { ?n <urn:dm:nation#n_name> ?name .
+        |  BIND(IRI(CONCAT("urn:mint:nation/", ?name)) AS ?node) }""".stripMargin)
+      .orderBy("subj", "pred", "obj")
+
+  /** `sameTerm` as the join condition between two otherwise-unlinked
+    * patterns (customer-nation × supplier-nation term identity) — the
+    * equality Catalyst folds into an equi-join, counted per region.
+    */
+  def kgSameTerm(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """SELECT ?r (COUNT(*) AS ?n_pairs) WHERE {
+        |  ?c <urn:dm:customer#ref-c_nationkey> ?n1 .
+        |  ?s <urn:dm:supplier#ref-s_nationkey> ?n2 .
+        |  FILTER(SAMETERM(?n1, ?n2)) .
+        |  ?n1 <urn:dm:nation#ref-n_regionkey> ?r
+        |} GROUP BY ?r ORDER BY ?r""".stripMargin)
+
   /** Incremental ingest: the prior run's manifest covers all docs except
     * doc_id % 10 == 3; only the 10% delta flows through the pipeline.
     */
@@ -1204,6 +1230,8 @@ object SparkEntry {
     "kg_sameas_resolution" -> (kgSameAsResolution(_, _)),
     "kg_rdfs_inference" -> (kgRdfsInference(_, _)),
     "kg_shortest_path" -> (kgShortestPath(_, _)),
+    "kg_iri_mint" -> (kgIriMint(_, _)),
+    "kg_sameterm" -> (kgSameTerm(_, _)),
     "kg_pagerank" -> (kgPageRank(_, _)),
     "kg_hash_funcs" -> (kgHashFuncs(_, _)),
     "kg_reachability" -> (kgReachability(_, _)),
@@ -1611,6 +1639,18 @@ object SparkEntry {
     // BFS distances replayed as recursive path enumeration — the doc
     // parent relation is a tree, so each node is reached exactly once
     // and the recursive CTE's depth IS the BFS distance
+    "kg_iri_mint" ->
+      """SELECT subj, pred, obj FROM (
+        |  SELECT 'urn:mint:nation/'||n_name AS subj,
+        |    'urn:voc:officialName' AS pred, n_name AS obj FROM nation
+        |  UNION ALL SELECT 'urn:mint:nation/'||n_name,
+        |    'urn:voc:dmNode', 'urn:dm:nation/'||n_nationkey FROM nation)
+        |ORDER BY subj, pred, obj""".stripMargin,
+    "kg_sameterm" ->
+      """SELECT 'urn:dm:region/'||n_regionkey AS r, count(*) AS n_pairs
+        |FROM customer JOIN supplier ON s_nationkey = c_nationkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "kg_shortest_path" ->
       """WITH RECURSIVE e AS (
         |  SELECT doc_id // 2 AS src, doc_id AS dst FROM documents WHERE doc_id > 0),

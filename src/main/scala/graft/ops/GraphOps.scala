@@ -384,6 +384,18 @@ object GraphOps {
   final case class VENeg(e: ValueExpr) extends ValueExpr {
     def column: Column = -e.column.cast("double")
   }
+  /** `IRI(e)` / `URI(e)` — IRI construction from a lexical form, THE
+    * KG-construction primitive for minting node identities
+    * (`BIND(IRI(CONCAT("urn:me:", ?key)) AS ?node)` then use `?node` in
+    * a CONSTRUCT template). In this engine's storage model an IRI is its
+    * lexical form with `dt = ""`, so the column is the string itself;
+    * string-typed so comparisons against it stay lexical. Relative-IRI
+    * resolution against a base is out of scope (pass absolute forms).
+    */
+  final case class VEIri(e: ValueExpr) extends ValueExpr {
+    def column: Column = e.column.cast("string")
+    override def stringTyped = true
+  }
   /** SPARQL hash functions `MD5` / `SHA256` — lowercase hex digest of
     * the lexical form (string-typed, usable in BIND/SELECT heads and
     * comparisons; both engines agree byte-for-byte, so hash-derived
@@ -447,6 +459,15 @@ object GraphOps {
         case "CONTAINS" => contains(t, a)
       }
     }
+  }
+  /** `SAMETERM(a, b)` — RDF term identity, which on this engine's
+    * lexical-form storage is STRING equality of the two sides (no
+    * numeric coercion: `sameTerm("01", "1")` is false where `?x = 1`
+    * numeric-compares true — exactly SPARQL's sameTerm-vs-`=`
+    * distinction for plain literals).
+    */
+  final case class SameTermC(l: ValueExpr, r: ValueExpr) extends Constraint {
+    def column: Column = l.column.cast("string") === r.column.cast("string")
   }
   /** `UCASE` / `LCASE` — case mapping over the lexical form. */
   final case class VECase(func: String, e: ValueExpr) extends ValueExpr {
@@ -679,6 +700,11 @@ object GraphOps {
           require(v.startsWith("?"), s"$f needs a ?variable, got '$v'")
           expect(")")
           TermTest(f, v.drop(1))
+        case "SAMETERM" =>
+          next(); expect("(")
+          val l = parseValue(); expect(",")
+          val r = parseValue(); expect(")")
+          SameTermC(l, r)
         case f @ ("REGEX" | "STRSTARTS" | "STRENDS" | "CONTAINS") =>
           next(); expect("(")
           val target = parseValue(); expect(",")
@@ -760,6 +786,8 @@ object GraphOps {
           next(); expect("("); val e = parseValue(); expect(")"); VENumFn(f, e)
         case f @ ("MD5" | "SHA256") =>
           next(); expect("("); val e = parseValue(); expect(")"); VEHash(f, e)
+        case "IRI" | "URI" =>
+          next(); expect("("); val e = parseValue(); expect(")"); VEIri(e)
         case f @ ("UCASE" | "LCASE") =>
           next(); expect("("); val e = parseValue(); expect(")"); VECase(f, e)
         case "SUBSTR" =>

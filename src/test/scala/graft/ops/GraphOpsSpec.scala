@@ -1299,4 +1299,39 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       GraphOps.shortestPaths(chain, Seq("1").toDF("node"), maxIterations = 2)
     }
   }
+
+  // ------------------------------------------------- IRI minting / sameTerm
+
+  test("IRI(CONCAT(...)) mints node identities usable in a CONSTRUCT template") {
+    val kg = quads(("n:1", "p:name", "ann", XsdString))
+    val got = GraphOps.constructQuery(kg,
+      """CONSTRUCT { ?node <p:of> ?n } WHERE {
+        |  ?n <p:name> ?name . BIND(IRI(CONCAT("m:", ?name)) AS ?node) }""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("m:ann", "p:of", "n:1")))
+  }
+
+  test("SAMETERM is lexical identity — no numeric coercion, unlike '='") {
+    val kg = quads(("a", "p:v", "01", XsdInteger), ("b", "p:v", "1", XsdInteger))
+    def run(filter: String) = GraphOps.select(kg,
+      s"SELECT ?x WHERE { ?x <p:v> ?v . FILTER($filter) } ORDER BY ?x")
+      .collect().map(_.getString(0)).toSeq
+    assert(run("SAMETERM(?v, \"1\")") == Seq("b"))
+    assert(run("?v = 1") == Seq("a", "b"))
+  }
+
+  test("var-var SAMETERM between unlinked patterns folds into an equi-join, not a cartesian") {
+    val kg = quads(
+      ("c1", "p:in", "n1", ""), ("s1", "q:in", "n1", ""), ("s2", "q:in", "n2", ""))
+    val df = GraphOps.select(kg,
+      """SELECT ?c ?s WHERE { ?c <p:in> ?a . ?s <q:in> ?b .
+        |FILTER(SAMETERM(?a, ?b)) } ORDER BY ?c ?s""".stripMargin)
+    assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("c1", "s1")))
+    def hasCartesian(p: SparkPlan): Boolean =
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec] ||
+        p.children.exists(hasCartesian)
+    assert(!hasCartesian(df.queryExecution.executedPlan))
+  }
 }
