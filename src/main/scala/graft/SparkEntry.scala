@@ -635,6 +635,39 @@ object SparkEntry {
         |  BIND(IRI(CONCAT("urn:mint:nation/", ?name)) AS ?node) }""".stripMargin)
       .orderBy("subj", "pred", "obj")
 
+  /** `WITH <g>`-scoped SPARQL Update over the named-graph KG
+    * ([[GraphOps.updateQuadsQuery]]): rename every nation in region 1's
+    * graph to an "R1/"-prefixed form via DELETE/INSERT WHERE — only that
+    * graph's slice may change, visible per (graph, pred) in the profile.
+    */
+  def kgUpdateWith(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.updateQuadsQuery(kgNamedGraphQuads(spark, dir),
+      """WITH <urn:g:region/1>
+        |DELETE { ?n <urn:dm:nation#n_name> ?name }
+        |INSERT { ?n <urn:dm:nation#n_name> ?prefixed }
+        |WHERE { ?n <urn:dm:nation#n_name> ?name .
+        |  BIND(CONCAT("R1/", ?name) AS ?prefixed) }""".stripMargin)
+      .groupBy(col("graph"), col("pred"))
+      .agg(count(lit(1)).as("n_triples"), min(col("obj")).as("min_obj"))
+      .orderBy("graph", "pred")
+
+  /** Graph management chained over the named-graph KG: COPY the meta
+    * graph to a backup, ADD region 1's graph into the default graph,
+    * MOVE region 2's graph to an archive name, CLEAR the meta graph —
+    * gated on the final per-graph census (every op shifts a row).
+    */
+  def kgGraphMgmt(spark: SparkSession, dir: String): DataFrame = {
+    val steps = Seq(
+      "COPY <urn:g:meta> TO <urn:g:backup>",
+      "ADD <urn:g:region/1> TO DEFAULT",
+      "MOVE <urn:g:region/2> TO <urn:g:archive>",
+      "CLEAR GRAPH <urn:g:meta>")
+    steps.foldLeft(kgNamedGraphQuads(spark, dir))(GraphOps.updateQuadsQuery)
+      .groupBy(col("graph"))
+      .agg(count(lit(1)).as("n_quads"), countDistinct(col("pred")).as("n_preds"))
+      .orderBy("graph")
+  }
+
   /** `sameTerm` as the join condition between two otherwise-unlinked
     * patterns (customer-nation × supplier-nation term identity) — the
     * equality Catalyst folds into an equi-join, counted per region.
@@ -1232,6 +1265,8 @@ object SparkEntry {
     "kg_shortest_path" -> (kgShortestPath(_, _)),
     "kg_iri_mint" -> (kgIriMint(_, _)),
     "kg_sameterm" -> (kgSameTerm(_, _)),
+    "kg_update_with" -> (kgUpdateWith(_, _)),
+    "kg_graph_mgmt" -> (kgGraphMgmt(_, _)),
     "kg_pagerank" -> (kgPageRank(_, _)),
     "kg_hash_funcs" -> (kgHashFuncs(_, _)),
     "kg_reachability" -> (kgReachability(_, _)),
@@ -1416,6 +1451,20 @@ object SparkEntry {
        |    'urn:dm:nation/'||c_nationkey, '' FROM customer
        |  UNION ALL SELECT 'urn:dm:supplier/'||s_suppkey, 'urn:dm:supplier#ref-s_nationkey',
        |    'urn:dm:nation/'||s_nationkey, '' FROM supplier)""".stripMargin
+
+  /** The named-graph KG ([[kgNamedGraphQuads]]) replayed in SQL. */
+  private lazy val kgNamedCte: String =
+    s"""nkg(subj, pred, obj, dt, graph) AS (
+       |  SELECT 'urn:dm:nation/'||n_nationkey, 'urn:dm:nation#n_name', n_name,
+       |    '$XsdString', 'urn:g:region/'||n_regionkey FROM nation
+       |  UNION ALL SELECT 'urn:dm:nation/'||n_nationkey, 'urn:dm:nation#n_regionkey',
+       |    CAST(n_regionkey AS VARCHAR), '$XsdInteger', 'urn:g:region/'||n_regionkey FROM nation
+       |  UNION ALL SELECT 'urn:dm:nation/'||n_nationkey, 'urn:dm:nation#ref-n_regionkey',
+       |    'urn:dm:region/'||n_regionkey, '', 'urn:g:region/'||n_regionkey FROM nation
+       |  UNION ALL SELECT 'urn:dm:region/'||r_regionkey, 'urn:dm:region#r_name',
+       |    r_name, '$XsdString', 'urn:g:meta' FROM region
+       |  UNION ALL SELECT 'urn:dm:customer/'||c_custkey, 'urn:dm:customer#ref-c_nationkey',
+       |    'urn:dm:nation/'||c_nationkey, '', '' FROM customer)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // IVF with the TRAINED codebook: full replay of the deterministic
@@ -1651,6 +1700,30 @@ object SparkEntry {
         |FROM customer JOIN supplier ON s_nationkey = c_nationkey
         |JOIN nation ON n_nationkey = c_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // WITH-scoped update: only region 1's graph slice renames its
+    // nation-name objects — every other (graph, pred) cell unchanged
+    "kg_update_with" ->
+      s"""WITH $kgNamedCte,
+         |upd AS (SELECT subj, pred,
+         |  CASE WHEN graph = 'urn:g:region/1' AND pred = 'urn:dm:nation#n_name'
+         |       THEN 'R1/'||obj ELSE obj END AS obj, dt, graph FROM nkg)
+         |SELECT graph, pred, count(*) AS n_triples, min(obj) AS min_obj
+         |FROM upd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the four management steps replayed: COPY meta→backup, ADD
+    // region/1→default (no overlapping triples, so plain append), MOVE
+    // region/2→archive, CLEAR meta
+    "kg_graph_mgmt" ->
+      s"""WITH $kgNamedCte,
+         |s1 AS (SELECT * FROM nkg UNION ALL
+         |  SELECT subj, pred, obj, dt, 'urn:g:backup' FROM nkg WHERE graph = 'urn:g:meta'),
+         |s2 AS (SELECT * FROM s1 UNION ALL
+         |  SELECT subj, pred, obj, dt, '' FROM s1 WHERE graph = 'urn:g:region/1'),
+         |s3 AS (SELECT subj, pred, obj, dt,
+         |  CASE WHEN graph = 'urn:g:region/2' THEN 'urn:g:archive' ELSE graph END AS graph
+         |  FROM s2),
+         |s4 AS (SELECT * FROM s3 WHERE graph <> 'urn:g:meta')
+         |SELECT graph, count(*) AS n_quads, count(DISTINCT pred) AS n_preds
+         |FROM s4 GROUP BY 1 ORDER BY 1""".stripMargin,
     "kg_shortest_path" ->
       """WITH RECURSIVE e AS (
         |  SELECT doc_id // 2 AS src, doc_id AS dst FROM documents WHERE doc_id > 0),

@@ -2502,4 +2502,138 @@ object GraphOps {
           s"DELETE/INSERT … WHERE, got '${text.trim.take(80)}'")
     }
   }
+
+  private val MgmtCreateRe =
+    """(?is)^\s*CREATE\s+(?:SILENT\s+)?GRAPH\s+<([^>]*)>\s*$""".r
+  private val MgmtClearRe =
+    """(?is)^\s*(?:CLEAR|DROP)\s+(?:SILENT\s+)?(?:GRAPH\s+<([^>]*)>|(DEFAULT)|(NAMED)|(ALL))\s*$""".r
+  private val MgmtCopyRe =
+    ("""(?is)^\s*(ADD|COPY|MOVE)\s+(?:SILENT\s+)?(?:(?:GRAPH\s+)?<([^>]*)>|(DEFAULT))""" +
+      """\s+TO\s+(?:(?:GRAPH\s+)?<([^>]*)>|(DEFAULT))\s*$""").r
+  private val WithHeadRe = """(?is)^\s*WITH\s+<([^>]*)>\s*(.*)$""".r
+  private val GraphKwRe = """(?i)\bGRAPH\b""".r
+
+  /** Rewrite one named graph through `f` (which sees a plain 4-column
+    * triple table), leaving every other graph's rows untouched — the
+    * quad-table analog of a per-partition update: at stored-table scale
+    * with a graph-partitioned layout this touches ONLY the target
+    * graph's files.
+    */
+  private def mapGraphSlice(quads: DataFrame, g: String)
+                           (f: DataFrame => DataFrame): DataFrame =
+    quads.filter(col("graph") =!= lit(g)).unionByName(
+      f(quads.filter(col("graph") === lit(g)).select("subj", "pred", "obj", "dt"))
+        .withColumn("graph", lit(g)))
+
+  /** Split a DATA block body into (graph, tripleText) segments:
+    * top-level triples target the default graph (`""`), `GRAPH <g> { … }`
+    * blocks target g. Scans literal- AND IRI-masked text, so a literal
+    * or IRI containing the word "graph" never derails the split.
+    */
+  private def splitDataGraphSegments(body: String): Seq[(String, String)] = {
+    val (litMasked, lits) = maskLiterals(body)
+    val (masked, iris) = maskIris(litMasked)
+    def um(x: String): String = unmask(unmaskIris(x, iris), lits)
+    val GraphIriHead = ("""(?s)^\s*""" + IriMaskChar + """(\d+)""" + IriMaskChar + """\s*(.*)$""").r
+    val segs = scala.collection.mutable.Buffer[(String, String)]()
+    var rest = masked
+    var done = false
+    while (!done) {
+      GraphKwRe.findFirstMatchIn(rest) match {
+        case None =>
+          if (rest.trim.nonEmpty) segs += ("" -> um(rest))
+          done = true
+        case Some(m) =>
+          val before = rest.substring(0, m.start)
+          if (before.trim.nonEmpty) segs += ("" -> um(before))
+          rest.substring(m.end) match {
+            case GraphIriHead(idx, r2) =>
+              val g = iris(idx.toInt).stripPrefix("<").stripSuffix(">")
+              val (b, tail) = extractBraceBlock(r2)
+              segs += (g -> um(b))
+              rest = tail
+            case other => throw new IllegalArgumentException(
+              s"expected GRAPH <iri> { … } in DATA block at: '${um(other).trim.take(60)}'")
+          }
+      }
+    }
+    segs.toSeq
+  }
+
+  private def applyDataSegments(quads: DataFrame, body: String,
+                                insert: Boolean): DataFrame =
+    splitDataGraphSegments(body).groupBy(_._1).toSeq.sortBy(_._1)
+      .foldLeft(quads) { case (acc, (g, parts)) =>
+        val dq = parts.map(p => dataQuads(quads.sparkSession, p._2))
+          .reduce(_.unionByName(_))
+        mapGraphSlice(acc, g)(t =>
+          if (insert) insertQuads(t, dq) else deleteQuads(t, dq))
+      }
+
+  /** SPARQL 1.1 Update over a NAMED-GRAPH quad table (subj, pred, obj,
+    * dt, graph) — the default graph is `graph = ""` (this engine's
+    * convention throughout). FUNCTIONAL like [[updateQuery]]: returns
+    * the updated table, never mutates the input. Forms:
+    *
+    *  - graph management: `CLEAR`/`DROP` `GRAPH <g> | DEFAULT | NAMED |
+    *    ALL` (CLEAR and DROP coincide — this model keeps no empty-graph
+    *    bookkeeping, so `CREATE GRAPH <g>` is likewise a no-op, as the
+    *    spec's SILENT mode allows); `ADD | COPY | MOVE [GRAPH] <g|DEFAULT>
+    *    TO [GRAPH] <g|DEFAULT>` with the spec's semantics (ADD is
+    *    set-union via the same probe-small-side insert as updateQuery,
+    *    COPY replaces the target, MOVE also clears the source;
+    *    same-graph source/target is a no-op).
+    *  - `INSERT DATA` / `DELETE DATA` whose block mixes top-level
+    *    triples (default graph) and `GRAPH <g> { … }` sub-blocks.
+    *  - `WITH <g> DELETE { … } INSERT { … } WHERE { … }` — the whole
+    *    update (patterns AND templates) scoped to graph g.
+    *  - any plain [[updateQuery]] form — applied to the default graph.
+    *
+    * Every form rewrites ONLY the targeted graph slice ([[mapGraphSlice]]);
+    * untargeted graphs' rows flow through untouched, so a
+    * graph-partitioned stored table updates one partition's files.
+    */
+  def updateQuadsQuery(quads: DataFrame, text0: String): DataFrame = {
+    val text = expandPrefixes(text0)
+    val (masked, lits) = maskLiterals(text)
+    def block(rest: String): (String, String) = {
+      val (b, tail) = extractBraceBlock(rest)
+      (unmask(b, lits), tail)
+    }
+    masked match {
+      case MgmtCreateRe(_) => quads
+      case MgmtClearRe(g, dflt, named, all) =>
+        if (all != null) quads.limit(0)
+        else if (named != null) quads.filter(col("graph") === lit(""))
+        else quads.filter(col("graph") =!= lit(if (dflt != null) "" else g))
+      case MgmtCopyRe(op, srcIri, srcDef, dstIri, dstDef) =>
+        val src = if (srcDef != null) "" else srcIri
+        val dst = if (dstDef != null) "" else dstIri
+        if (src == dst) quads
+        else {
+          val srcRows = quads.filter(col("graph") === lit(src))
+            .select("subj", "pred", "obj", "dt")
+          op.toUpperCase match {
+            case "ADD" => mapGraphSlice(quads, dst)(t => insertQuads(t, srcRows))
+            case "COPY" => quads.filter(col("graph") =!= lit(dst))
+              .unionByName(srcRows.withColumn("graph", lit(dst)))
+            case "MOVE" => quads
+              .filter(col("graph") =!= lit(dst) && col("graph") =!= lit(src))
+              .unionByName(srcRows.withColumn("graph", lit(dst)))
+          }
+        }
+      case WithHeadRe(g, rest) =>
+        mapGraphSlice(quads, g)(slice => updateQuery(slice, unmask(rest, lits)))
+      case InsertDataRe(rest) =>
+        val (b, tail) = block(rest)
+        require(tail.trim.isEmpty, s"unrecognized text after update: '${tail.trim}'")
+        applyDataSegments(quads, b, insert = true)
+      case DeleteDataRe(rest) =>
+        val (b, tail) = block(rest)
+        require(tail.trim.isEmpty, s"unrecognized text after update: '${tail.trim}'")
+        applyDataSegments(quads, b, insert = false)
+      case _ =>
+        mapGraphSlice(quads, "")(slice => updateQuery(slice, text))
+    }
+  }
 }

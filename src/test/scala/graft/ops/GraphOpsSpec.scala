@@ -1334,4 +1334,81 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         p.children.exists(hasCartesian)
     assert(!hasCartesian(df.queryExecution.executedPlan))
   }
+
+  // ------------------------------------------------ named-graph updates
+
+  private def quads5(rows: (String, String, String, String, String)*) = {
+    val sp = spark; import sp.implicits._
+    rows.toDF("subj", "pred", "obj", "dt", "graph")
+  }
+
+  private def asSet5(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+      r.getString(3), r.getString(4))).toSet
+
+  test("updateQuadsQuery: CLEAR/DROP/CREATE graph management forms") {
+    val q = quads5(
+      ("s1", "p:a", "o1", "", "g:1"), ("s2", "p:b", "o2", "", "g:2"),
+      ("s3", "p:c", "o3", "", ""))
+    def run(u: String) = asSet5(GraphOps.updateQuadsQuery(q, u))
+    assert(run("CLEAR GRAPH <g:1>") ==
+      Set(("s2", "p:b", "o2", "", "g:2"), ("s3", "p:c", "o3", "", "")))
+    assert(run("DROP SILENT GRAPH <g:1>") == run("CLEAR GRAPH <g:1>"))
+    assert(run("CLEAR DEFAULT") ==
+      Set(("s1", "p:a", "o1", "", "g:1"), ("s2", "p:b", "o2", "", "g:2")))
+    assert(run("CLEAR NAMED") == Set(("s3", "p:c", "o3", "", "")))
+    assert(run("CLEAR ALL") == Set.empty)
+    assert(run("CREATE GRAPH <g:9>") == asSet5(q))
+  }
+
+  test("updateQuadsQuery: ADD set-unions, COPY replaces, MOVE relabels and clears source") {
+    val q = quads5(
+      ("s1", "p:a", "o1", "", "g:1"), ("s1", "p:a", "o1", "", "g:2"),
+      ("s2", "p:b", "o2", "", "g:2"))
+    def run(u: String) = asSet5(GraphOps.updateQuadsQuery(q, u))
+    // s1's triple already in g:2 → no duplicate
+    assert(run("ADD <g:1> TO <g:2>") == asSet5(q))
+    assert(run("ADD GRAPH <g:2> TO GRAPH <g:1>") == asSet5(q) +
+      (("s2", "p:b", "o2", "", "g:1")))
+    assert(run("COPY <g:1> TO <g:2>") == Set(
+      ("s1", "p:a", "o1", "", "g:1"), ("s1", "p:a", "o1", "", "g:2")))
+    assert(run("MOVE <g:2> TO DEFAULT") == Set(
+      ("s1", "p:a", "o1", "", "g:1"),
+      ("s1", "p:a", "o1", "", ""), ("s2", "p:b", "o2", "", "")))
+    assert(run("COPY <g:1> TO <g:1>") == asSet5(q))
+  }
+
+  test("updateQuadsQuery: INSERT/DELETE DATA with GRAPH blocks and default-graph triples") {
+    val q = quads5(("s1", "p:a", "o1", "", "g:1"))
+    val got = asSet5(GraphOps.updateQuadsQuery(q,
+      """INSERT DATA {
+        |  <d:1> <p:x> "v" .
+        |  GRAPH <g:1> { <s1> <p:a> <o1> . <s9> <p:z> <o9> }
+        |  GRAPH <g:2> { <s2> <p:b> <o2> } }""".stripMargin))
+    assert(got == Set(
+      ("s1", "p:a", "o1", "", "g:1"),            // re-insert is a no-op
+      ("s9", "p:z", "o9", "", "g:1"),
+      ("s2", "p:b", "o2", "", "g:2"),
+      ("d:1", "p:x", "v", XsdString, "")))
+    val afterDel = asSet5(GraphOps.updateQuadsQuery(q,
+      "DELETE DATA { GRAPH <g:1> { <s1> <p:a> <o1> } }"))
+    assert(afterDel == Set.empty)
+  }
+
+  test("updateQuadsQuery: WITH scopes templates and WHERE to one graph; plain form hits default") {
+    val q = quads5(
+      ("c1", "p:in", "n1", "", "g:a"), ("c1", "p:in", "n1", "", "g:b"),
+      ("c2", "p:in", "n1", "", ""))
+    val got = asSet5(GraphOps.updateQuadsQuery(q,
+      """WITH <g:a> DELETE { ?c <p:in> <n1> } INSERT { ?c <p:in> <n2> }
+        |WHERE { ?c <p:in> <n1> }""".stripMargin))
+    assert(got == Set(
+      ("c1", "p:in", "n2", "", "g:a"),           // rewritten in g:a only
+      ("c1", "p:in", "n1", "", "g:b"),
+      ("c2", "p:in", "n1", "", "")))
+    val plain = asSet5(GraphOps.updateQuadsQuery(q,
+      "DELETE WHERE { ?c <p:in> ?n }"))
+    assert(plain == Set(
+      ("c1", "p:in", "n1", "", "g:a"), ("c1", "p:in", "n1", "", "g:b")))
+  }
 }
