@@ -492,15 +492,22 @@ object Bench {
     // from the STDOUT line rather than losing the headline — the full map
     // is always in bench_out.json
     val compact = {
-      // 2-decimal times in the STDOUT map only — with 70+ gated queries
-      // the 3-decimal map is within ~15 chars of the budget, and the
-      // full-precision map is always in bench_out.json
-      val qsCompact = (results.map { case (k, v, ok, _) =>
+      // 2-decimal times in the STDOUT map only — full precision is
+      // always in bench_out.json. Tiered to the budget: all queries →
+      // only the ≥50 ms ones (the informative tail; a sub-50 ms query
+      // regressing to seconds would re-enter the map by definition) →
+      // headline only. Errors always survive every tier.
+      def mapOf(rs: Seq[(String, Double, Boolean, Seq[Double])], omittedFast: Int) =
+        (rs.map { case (k, v, ok, _) =>
           "\"" + k + "\":" + (if (ok) f"$v%.2f" else "\"error\"")
-        } :+ ("\"pipeline_e2e\":" + f"$pipeSecs%.2f")).mkString("{", ",", "}")
-      val full = compactWith(qsCompact)
-      if (full.length <= 1900) full
-      else compactWith(s"""{"omitted_count":${names.size}}""")
+        } ++ (if (omittedFast > 0) Seq("\"fast_omitted_count\":" + omittedFast) else Nil)
+          :+ ("\"pipeline_e2e\":" + f"$pipeSecs%.2f")).mkString("{", ",", "}")
+      val tiers = Seq(0.0, 0.05, 0.2, 0.5, 1.0, 2.0).map { thr =>
+        val kept = results.filter { case (_, v, ok, _) => !ok || v >= thr }
+        compactWith(mapOf(kept, results.size - kept.size))
+      } :+ compactWith(s"""{"omitted_count":${names.size}}""")
+      tiers.find(_.length <= 1900)
+        .getOrElse(compactWith(s"""{"omitted_count":${names.size}}"""))
     }
     val full = s"""{"metric":"pipeline_triples_per_sec","value":${f"$throughput%.1f"},"unit":"triples/sec","total_sec":${f"$total%.2f"},"pipeline_triples":$triples,"pipeline_sec":${f"$pipeSecs%.2f"},"failed":$failed,"queries":$qs,"query_runs":$qsAll,"query_reps":$queryReps,"host":$host,"health_gate":$gateJson,"pred_dict_ab":$dictJson,"sf":"$sfDir","cpus":"$cpus","replication":$replication,"workdir":"${Bench.workRoot}"}"""
     // memory-backed work dirs are not free: clean up so repeated runs

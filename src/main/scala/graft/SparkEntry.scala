@@ -668,6 +668,29 @@ object SparkEntry {
       .orderBy("graph")
   }
 
+  /** Language-tagged literals end-to-end: `"lex"@tag` INSERT DATA syntax
+    * (tag rides the dt slot as `"@tag"`), then LANG / LANGMATCHES /
+    * DATATYPE over the tagged graph — RFC 4647 basic filtering ("en"
+    * matches "en-GB"), rdf:langString surfaced by DATATYPE, and the
+    * untagged "Middle East" label excluded by both branches.
+    */
+  def kgLangFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val tagged = GraphOps.updateQuery(kgTriples(spark, dir),
+      """INSERT DATA {
+        |  <urn:dm:region/0> <urn:voc:label> "Afrika"@de .
+        |  <urn:dm:region/0> <urn:voc:label> "Afrique"@fr .
+        |  <urn:dm:region/1> <urn:voc:label> "Amerika"@de .
+        |  <urn:dm:region/2> <urn:voc:label> "Asie"@fr .
+        |  <urn:dm:region/3> <urn:voc:label> "Europe"@en-GB .
+        |  <urn:dm:region/3> <urn:voc:label> "Europa"@de .
+        |  <urn:dm:region/4> <urn:voc:label> "Middle East" }""".stripMargin)
+    GraphOps.select(tagged,
+      """SELECT ?r ?l (LANG(?l) AS ?tag) (DATATYPE(?l) AS ?dt) WHERE {
+        |  { ?r <urn:voc:label> ?l . FILTER(LANGMATCHES(LANG(?l), "de")) }
+        |  UNION { ?r <urn:voc:label> ?l . FILTER(LANGMATCHES(LANG(?l), "en")) }
+        |} ORDER BY ?r ?l""".stripMargin)
+  }
+
   /** `sameTerm` as the join condition between two otherwise-unlinked
     * patterns (customer-nation × supplier-nation term identity) — the
     * equality Catalyst folds into an equi-join, counted per region.
@@ -1267,6 +1290,7 @@ object SparkEntry {
     "kg_sameterm" -> (kgSameTerm(_, _)),
     "kg_update_with" -> (kgUpdateWith(_, _)),
     "kg_graph_mgmt" -> (kgGraphMgmt(_, _)),
+    "kg_lang_funcs" -> (kgLangFuncs(_, _)),
     "kg_pagerank" -> (kgPageRank(_, _)),
     "kg_hash_funcs" -> (kgHashFuncs(_, _)),
     "kg_reachability" -> (kgReachability(_, _)),
@@ -1700,6 +1724,20 @@ object SparkEntry {
         |FROM customer JOIN supplier ON s_nationkey = c_nationkey
         |JOIN nation ON n_nationkey = c_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the de/en-filtered tagged labels (RFC 4647 basic filtering: the
+    // "en" range admits "en-GB"; fr rows and the untagged label are
+    // excluded) with their tags and the rdf:langString datatype
+    "kg_lang_funcs" ->
+      """SELECT r, l, tag, dt FROM (VALUES
+        |  ('urn:dm:region/0', 'Afrika', 'de',
+        |   'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString'),
+        |  ('urn:dm:region/1', 'Amerika', 'de',
+        |   'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString'),
+        |  ('urn:dm:region/3', 'Europa', 'de',
+        |   'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString'),
+        |  ('urn:dm:region/3', 'Europe', 'en-GB',
+        |   'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString')
+        |) AS t(r, l, tag, dt) ORDER BY r, l""".stripMargin,
     // WITH-scoped update: only region 1's graph slice renames its
     // nation-name objects — every other (graph, pred) cell unchanged
     "kg_update_with" ->

@@ -52,6 +52,7 @@ object GraphOps {
   final case class ConstNotIn(values: Seq[String]) extends Term
 
   val RdfTypeIri = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+  val RdfLangString = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
 
   final case class TriplePattern(s: Term, p: Term, o: Term)
 
@@ -545,8 +546,38 @@ object GraphOps {
     * to a loud missing-column error.
     */
   final case class VEDatatype(variable: String) extends ValueExpr {
-    def column: Column = col(variable + DtSuffix)
+    // language-tagged literals store their tag as "@tag" in the dt slot
+    // (RDF 1.1: tag and datatype are mutually exclusive on a literal);
+    // DATATYPE must surface the spec datatype, rdf:langString
+    def column: Column = {
+      val dt = col(variable + DtSuffix)
+      when(dt.startsWith("@"), lit(RdfLangString)).otherwise(dt)
+    }
     override def stringTyped = true
+  }
+  /** `LANG(?v)` — the language tag of a tagged literal (`""` for plain /
+    * typed literals and IRIs). Tags live in the tracked dt companion as
+    * `"@tag"` (mutually exclusive with a datatype per RDF 1.1), so this
+    * rides the same opt-in tracking as DATATYPE.
+    */
+  final case class VELang(variable: String) extends ValueExpr {
+    def column: Column = {
+      val dt = col(variable + DtSuffix)
+      when(dt.startsWith("@"), dt.substr(lit(2), length(dt))).otherwise(lit(""))
+    }
+    override def stringTyped = true
+  }
+  /** `LANGMATCHES(tag, range)` — RFC 4647 basic filtering: `"*"` matches
+    * any non-empty tag; otherwise case-insensitive exact match or
+    * subtag-prefix match (`"en"` matches `"en-GB"`).
+    */
+  final case class LangMatchesC(tag: ValueExpr, range: ValueExpr) extends Constraint {
+    def column: Column = {
+      val t = lower(tag.column.cast("string"))
+      val r = lower(range.column.cast("string"))
+      when(r === "*", t =!= "")
+        .otherwise(t === r || t.startsWith(concat(r, lit("-"))))
+    }
   }
   /** Term-kind tests over the tracked datatype: `isIRI` / `isBlank`
     * (dt `""`, split on the `_:` bnode prefix), `isLiteral` (dt non-
@@ -705,6 +736,11 @@ object GraphOps {
           val l = parseValue(); expect(",")
           val r = parseValue(); expect(")")
           SameTermC(l, r)
+        case "LANGMATCHES" =>
+          next(); expect("(")
+          val tag = parseValue(); expect(",")
+          val range = parseValue(); expect(")")
+          LangMatchesC(tag, range)
         case f @ ("REGEX" | "STRSTARTS" | "STRENDS" | "CONTAINS") =>
           next(); expect("(")
           val target = parseValue(); expect(",")
@@ -781,6 +817,12 @@ object GraphOps {
           require(v.startsWith("?"), s"DATATYPE needs a ?variable, got '$v'")
           expect(")")
           VEDatatype(v.drop(1))
+        case "LANG" =>
+          next(); expect("(")
+          val v = next()
+          require(v.startsWith("?"), s"LANG needs a ?variable, got '$v'")
+          expect(")")
+          VELang(v.drop(1))
         case "STRLEN" => next(); expect("("); val e = parseValue(); expect(")"); VEStrLen(e)
         case f @ ("ABS" | "ROUND" | "CEIL" | "FLOOR") =>
           next(); expect("("); val e = parseValue(); expect(")"); VENumFn(f, e)
@@ -1070,7 +1112,12 @@ object GraphOps {
         val (dataset, headSansFrom) = extractDataset(head)
         val (distinct, projs) = parseProjections(headSansFrom, unmask(_, lits))
         val (bodyMasked, tailMasked) = extractBraceBlock(rest)
-        applyModifiers(compileBody(quads, unmask(bodyMasked, lits), dataset),
+        // a head projecting DATATYPE/LANG needs the dt companions the
+        // body would otherwise drop — force tracking into every branch
+        // and keep the companions through to the head projection
+        val headDt = DtFuncRe.findFirstIn(headSansFrom).isDefined
+        applyModifiers(
+          compileBody(quads, unmask(bodyMasked, lits), dataset, keepDt = headDt),
           distinct, projs, tailMasked, unmask(_, lits))
       case _ => compileBody(quads, text)
     }
@@ -1226,13 +1273,16 @@ object GraphOps {
     * bridging), drop the internal sequence-hop columns.
     */
   private def compileBody(quads: DataFrame, body: String,
-                          dataset: Option[Dataset] = None): DataFrame = {
-    val df = splitTopLevelUnion(body).map(compileGroup(quads, _, dataset))
+                          dataset: Option[Dataset] = None,
+                          keepDt: Boolean = false): DataFrame = {
+    val df = splitTopLevelUnion(body)
+      .map(compileGroup(quads, _, dataset, forceTrackDt = keepDt))
       .reduce(_.unionByName(_, allowMissingColumns = true))
     // drop internal columns: sequence-hop variables and tracked-datatype
-    // companions (`?x__dt` is reserved alongside `?__seqN`)
+    // companions (`?x__dt` is reserved alongside `?__seqN`) — unless the
+    // caller's SELECT head still needs the companions
     df.drop(df.columns.filter(c =>
-      c.startsWith(SeqVarPrefix) || c.endsWith(DtSuffix)).toSeq: _*)
+      c.startsWith(SeqVarPrefix) || (!keepDt && c.endsWith(DtSuffix))).toSeq: _*)
   }
 
   /** Augment `quads` with the virtual closure triples for every `<p>+` /
@@ -1538,7 +1588,7 @@ object GraphOps {
   private val NotExistsRe = """(?i)FILTER\s+NOT\s+EXISTS\s*\{([^{}]*)\}""".r
   private val ExistsRe = """(?i)FILTER\s+EXISTS\s*\{([^{}]*)\}""".r
   private val DtFuncRe =
-    """(?i)\b(?:DATATYPE|isIRI|isLiteral|isBlank|isNumeric)\s*\(""".r
+    """(?i)\b(?:DATATYPE|LANGMATCHES|LANG|isIRI|isLiteral|isBlank|isNumeric)\s*\(""".r
 
   /** Extract top-level `{ SELECT … }` sub-select blocks from masked
     * text: each is compiled by a recursive [[select]] call and joined
@@ -1592,7 +1642,8 @@ object GraphOps {
     * position-sensitive BIND scope.)
     */
   private def compileGroup(rawQuads: DataFrame, group: String,
-                           dataset: Option[Dataset] = None): DataFrame = {
+                           dataset: Option[Dataset] = None,
+                           forceTrackDt: Boolean = false): DataFrame = {
     // a branch that IS a bare sub-select (its braces were stripped by
     // the UNION splitter) re-enters select() whole — patterns can never
     // start with the SELECT keyword, so the dispatch is unambiguous.
@@ -1632,7 +1683,7 @@ object GraphOps {
     // datatype tracking is opt-in per branch: only when a filter in this
     // branch (incl. its OPTIONAL/MINUS/EXISTS blocks) introspects terms
     // do object variables carry their v__dt companion columns
-    val trackDt = DtFuncRe.findFirstIn(gsub).isDefined
+    val trackDt = forceTrackDt || DtFuncRe.findFirstIn(gsub).isDefined
     val notExistsGroups = NotExistsRe.findAllMatchIn(gsub).map(m => um(m.group(1))).toSeq
     val gne = NotExistsRe.replaceAllIn(gsub, " ")
     val existsGroups = ExistsRe.findAllMatchIn(gne).map(m => um(m.group(1))).toSeq
@@ -2342,7 +2393,7 @@ object GraphOps {
     * token is matched as ONE token (quote + optional `^^<iri>` tail).
     */
   private def parseTemplateBlock(block: String): Seq[TripleTmpl] = {
-    val termRe = """"[^"]*"(?:\^\^<[^<>\s]*>)?|\S+""".r
+    val termRe = """"[^"]*"(?:\^\^<[^<>\s]*>|@[A-Za-z][A-Za-z0-9-]*)?|\S+""".r
     val toks = termRe.findAllIn(block).toSeq
     val groups = toks.foldLeft(List(List.empty[String])) { (acc, t) =>
       if (t == ".") List.empty[String] :: acc else (t :: acc.head) :: acc.tail
@@ -2357,11 +2408,18 @@ object GraphOps {
         s"a data/template predicate must be <iri>, 'a', or ?var (no paths): '${p(1)}'")
       val pr = parseTerm(predTok)
       val oTok = p(2)
+      val LangLit = """(?s)^"(.*)"@([A-Za-z][A-Za-z0-9-]*)$""".r
       val (o, dt) =
         if (oTok.startsWith("\"")) {
           val hat = oTok.indexOf("\"^^<")
-          if (hat >= 0) (Const(oTok.substring(1, hat)), oTok.substring(hat + 4, oTok.length - 1))
-          else (parseTerm(oTok), XsdString)
+          oTok match {
+            case _ if hat >= 0 =>
+              (Const(oTok.substring(1, hat)), oTok.substring(hat + 4, oTok.length - 1))
+            // language-tagged literal: the tag rides the dt slot as
+            // "@tag" (mutually exclusive with a datatype per RDF 1.1)
+            case LangLit(lex, tag) => (Const(lex), "@" + tag)
+            case _ => (parseTerm(oTok), XsdString)
+          }
         } else (parseTerm(oTok), "")
       TripleTmpl(s, pr, o, dt)
     }

@@ -1411,4 +1411,25 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plain == Set(
       ("c1", "p:in", "n1", "", "g:a"), ("c1", "p:in", "n1", "", "g:b")))
   }
+
+  // ---------------------------------------------------- language tags
+
+  test("lang-tagged literals: @tag in DATA blocks, LANG, LANGMATCHES, DATATYPE=rdf:langString") {
+    val kg = quads(("r:1", "p:name", "x", XsdString))
+    val upd = GraphOps.updateQuery(kg,
+      """INSERT DATA { <r:1> <p:label> "Europa"@de .
+        |  <r:1> <p:label> "Europe"@en-GB . <r:1> <p:label> "plain" }""".stripMargin)
+    assert(asSet(upd).contains(("r:1", "p:label", "Europa", "@de")))
+    val en = GraphOps.select(upd,
+      """SELECT ?l (LANG(?l) AS ?tag) (DATATYPE(?l) AS ?dt) WHERE {
+        |  ?r <p:label> ?l . FILTER(LANGMATCHES(LANG(?l), "en")) }""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(en == Seq(("Europe", "en-GB", GraphOps.RdfLangString)),
+      "basic filtering: 'en' must match 'en-GB' only")
+    val anyTag = GraphOps.select(upd,
+      """SELECT ?l WHERE { ?r <p:label> ?l .
+        |  FILTER(LANGMATCHES(LANG(?l), "*")) } ORDER BY ?l""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(anyTag == Seq("Europa", "Europe"), "'*' matches any tagged literal, not plain")
+  }
 }
