@@ -668,6 +668,28 @@ object SparkEntry {
       .orderBy("graph")
   }
 
+  /** Per-node triangle counts ([[GraphOps.triangleCount]]) over a
+    * deterministic cyclic graph on the document ids (ring ±1, ±2 chords
+    * plus a 7i+3 modular chord — triangle-rich and irregular), gated on
+    * the triangle-count histogram with min/max node per bucket. The
+    * engine enumerates via degree-ordered orientation; the oracle via
+    * id-ordered 3-way join — same triangle set, independently derived.
+    */
+  def kgTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"))
+    val n = docs.count()
+    def chord(off: org.apache.spark.sql.Column) =
+      docs.select(col("doc_id").as("src"), (off % n).as("dst"))
+    val edges = chord(col("doc_id") + 1)
+      .union(chord(col("doc_id") + 2))
+      .union(chord(col("doc_id") * 7 + 3))
+    GraphOps.triangleCount(edges)
+      .groupBy(col("n_triangles"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
+        max(col("node")).as("max_node"))
+      .orderBy("n_triangles")
+  }
+
   /** Language-tagged literals end-to-end: `"lex"@tag` INSERT DATA syntax
     * (tag rides the dt slot as `"@tag"`), then LANG / LANGMATCHES /
     * DATATYPE over the tagged graph — RFC 4647 basic filtering ("en"
@@ -1291,6 +1313,7 @@ object SparkEntry {
     "kg_update_with" -> (kgUpdateWith(_, _)),
     "kg_graph_mgmt" -> (kgGraphMgmt(_, _)),
     "kg_lang_funcs" -> (kgLangFuncs(_, _)),
+    "kg_triangles" -> (kgTriangles(_, _)),
     "kg_pagerank" -> (kgPageRank(_, _)),
     "kg_hash_funcs" -> (kgHashFuncs(_, _)),
     "kg_reachability" -> (kgReachability(_, _)),
@@ -1724,6 +1747,29 @@ object SparkEntry {
         |FROM customer JOIN supplier ON s_nationkey = c_nationkey
         |JOIN nation ON n_nationkey = c_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // id-oriented triangle enumeration (a<b<c corners via 3-way join) —
+    // the same triangle set the engine's degree-ordered orientation
+    // enumerates, aggregated to the per-count histogram
+    "kg_triangles" ->
+      """WITH p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS src, (doc_id + 1) % (SELECT n FROM p) AS dst FROM documents
+        |  UNION ALL SELECT doc_id, (doc_id + 2) % (SELECT n FROM p) FROM documents
+        |  UNION ALL SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM p) FROM documents),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e0 WHERE src <> dst),
+        |tri AS (SELECT e1.a AS t1, e1.b AS t2, e2.b AS t3
+        |  FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |corners AS (SELECT t1 AS node FROM tri UNION ALL SELECT t2 FROM tri
+        |  UNION ALL SELECT t3 FROM tri),
+        |nodes AS (SELECT DISTINCT a AS node FROM und UNION SELECT b FROM und),
+        |pernode AS (SELECT nodes.node, CAST(COALESCE(c.n_tri, 0) AS BIGINT) AS n_triangles
+        |  FROM nodes LEFT JOIN (SELECT node, count(*) AS n_tri FROM corners GROUP BY node) c
+        |  ON nodes.node = c.node)
+        |SELECT n_triangles, count(*) AS n_nodes, min(node) AS min_node,
+        |  max(node) AS max_node
+        |FROM pernode GROUP BY n_triangles ORDER BY n_triangles""".stripMargin,
     // the de/en-filtered tagged labels (RFC 4647 basic filtering: the
     // "en" range admits "en-GB"; fr rows and the untagged label are
     // excluded) with their tags and the rdf:langString datatype

@@ -2115,6 +2115,59 @@ object GraphOps {
     q4.unionByName(derived)
   }
 
+  /** Per-node triangle counts over an undirected-ized edge list — the
+    * clustering-structure profile of a constructed KG (communities,
+    * link-farm detection, graph health). The classic degree-ordered
+    * orientation (Chiba–Nishizeki / MapReduce "compact-forward"): every
+    * edge points from its lower-(degree, id) endpoint to the higher, so
+    * each triangle is enumerated EXACTLY once from its minimum corner,
+    * and — the 100-TB point — wedge generation fans out from the
+    * low-degree side: a star hub of degree d contributes no d² wedge
+    * blow-up because its edges all point INTO it. Two shuffles join the
+    * wedge set back to the oriented edges; keys are uniform node ids.
+    * The orientation only affects enumeration order, never the triangle
+    * SET, so an id-oriented declarative replay (the DuckDB oracle)
+    * value-gates the result.
+    *
+    * Output: (node, n_triangles) for EVERY node incident to an edge
+    * (zero-triangle nodes included, self-loops dropped, parallel edges
+    * collapsed).
+    */
+  def triangleCount(edges0: DataFrame): DataFrame = {
+    val und = edges0.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().localCheckpoint()
+    val nodes = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
+      .distinct()
+    val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val keyed = und
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = keyed.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"),
+        when(aFirst, struct(col("db").as("d"), col("b").as("i")))
+          .otherwise(struct(col("da").as("d"), col("a").as("i"))).as("kv"))
+      .localCheckpoint()
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.kv") < col("e2.kv"))
+      .select(col("e1.u").as("t1"), col("e1.v").as("t2"), col("e2.v").as("t3"))
+    val tris = wedges.join(
+      oriented.select(col("u").as("t2"), col("v").as("t3")), Seq("t2", "t3"))
+    val corners = tris.select(col("t1").as("n"))
+      .union(tris.select(col("t2").as("n")))
+      .union(tris.select(col("t3").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("c"))
+    nodes.join(corners, Seq("n"), "left")
+      .select(col("n").as("node"), coalesce(col("c"), lit(0L)).as("n_triangles"))
+  }
+
   /** Single-source-set shortest HOP distances by level-synchronous BFS:
     * round d's frontier is exactly the set of nodes first reached at
     * distance d, so no per-node min() is ever needed — a node entering

@@ -1412,6 +1412,27 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("c1", "p:in", "n1", "", "g:a"), ("c1", "p:in", "n1", "", "g:b")))
   }
 
+  // ------------------------------------------------- triangle counting
+
+  test("triangleCount: degree-ordered enumeration counts each triangle once per corner") {
+    val sp = spark; import sp.implicits._
+    // K4 on {a,b,c,d} (4 triangles, each node in 3) plus a pendant edge,
+    // a duplicate edge, a reversed edge, and a self-loop
+    val edges = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+      ("c", "d"), ("c", "b"), ("b", "a"), ("d", "e"), ("e", "e")).toDF("src", "dst")
+    val got = GraphOps.triangleCount(edges)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L, "e" -> 0L))
+  }
+
+  test("triangleCount: triangle-free graph is all zeros") {
+    val sp = spark; import sp.implicits._
+    val chain = Seq(("1", "2"), ("2", "3"), ("3", "4")).toDF("src", "dst")
+    val got = GraphOps.triangleCount(chain)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("1" -> 0L, "2" -> 0L, "3" -> 0L, "4" -> 0L))
+  }
+
   // ---------------------------------------------------- language tags
 
   test("lang-tagged literals: @tag in DATA blocks, LANG, LANGMATCHES, DATATYPE=rdf:langString") {
