@@ -2079,10 +2079,8 @@ object GraphOps {
     def schemaEdges(p: String) = q4
       .filter(col("pred") === p && col("dt") === "")
       .select(col("subj").as("src"), col("obj").as("dst"))
-    val spoC = transitiveClosure(schemaEdges(RdfsSubPropertyOf), maxIterations)
-      .localCheckpoint()
-    val scoC = transitiveClosure(schemaEdges(RdfsSubClassOf), maxIterations)
-      .localCheckpoint()
+    val spoC = schemaClosure(schemaEdges(RdfsSubPropertyOf), maxIterations)
+    val scoC = schemaClosure(schemaEdges(RdfsSubClassOf), maxIterations)
     val dom = q4.filter(col("pred") === RdfsDomain && col("dt") === "")
       .select(col("subj").as("d_p"), col("obj").as("d_c"))
     val rng = q4.filter(col("pred") === RdfsRange && col("dt") === "")
@@ -2113,6 +2111,40 @@ object GraphOps {
       .distinct()
       .join(q4, Seq("subj", "pred", "obj", "dt"), "left_anti")
     q4.unionByName(derived)
+  }
+
+  /** Transitive closure of a SCHEMA graph (subClassOf / subPropertyOf
+    * edges): ontologies are vocabulary-sized by definition — thousands
+    * of classes against billions of instance triples — so the closure is
+    * computed driver-side in one collect (the same tiny-by-contract
+    * driver action as the IVF codebook) instead of spending an iterative
+    * round of Spark jobs per hop; an unexpectedly huge edge set (over
+    * 100k rows) falls back to the distributed [[transitiveClosure]]
+    * rather than flooding the driver.
+    */
+  private def schemaClosure(edges: DataFrame, maxIterations: Int): DataFrame = {
+    val cap = 100000
+    val local = edges.limit(cap + 1).collect()
+    if (local.length > cap) return transitiveClosure(edges, maxIterations)
+    val adj = scala.collection.mutable.Map[String, scala.collection.mutable.Set[String]]()
+    local.foreach(r =>
+      adj.getOrElseUpdate(r.getString(0), scala.collection.mutable.Set()) += r.getString(1))
+    val out = scala.collection.mutable.Buffer[(String, String)]()
+    for (src <- adj.keys.toSeq.sorted) {
+      val seen = scala.collection.mutable.Set[String]()
+      var frontier: Set[String] = adj(src).toSet
+      while (frontier.nonEmpty) {
+        seen ++= frontier
+        frontier = frontier.flatMap(n =>
+          adj.get(n).map(_.toSet).getOrElse(Set.empty)).diff(seen)
+      }
+      seen.foreach(d => out += ((src, d)))
+    }
+    if (out.isEmpty) edges.limit(0)
+    else {
+      val sp = edges.sparkSession
+      sp.createDataFrame(out.toSeq).toDF("src", "dst")
+    }
   }
 
   /** Per-node triangle counts over an undirected-ized edge list — the
