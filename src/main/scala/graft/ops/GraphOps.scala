@@ -1341,8 +1341,13 @@ object GraphOps {
   private def parseProjections(head: String,
                                um: String => String = identity): (Boolean, Seq[Proj]) = {
     var h = head.trim
-    val distinct = h.toUpperCase.startsWith("DISTINCT")
-    if (distinct) h = h.substring("DISTINCT".length).trim
+    // REDUCED permits (but does not require) duplicate elimination —
+    // eliminating is always a conforming implementation, so it compiles
+    // exactly like DISTINCT
+    val reduced = h.toUpperCase.startsWith("REDUCED")
+    if (reduced) h = h.substring("REDUCED".length).trim
+    val distinct = reduced || h.toUpperCase.startsWith("DISTINCT")
+    if (!reduced && distinct) h = h.substring("DISTINCT".length).trim
     if (h.isEmpty || h == "*") (distinct, Seq.empty)
     else {
       val tokRe = """\((?:[^()]|\([^()]*\))*\)|\S+""".r

@@ -1433,6 +1433,20 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map("1" -> 0L, "2" -> 0L, "3" -> 0L, "4" -> 0L))
   }
 
+  test("updateQuadsQuery: a literal containing the word GRAPH never derails the DATA split; REDUCED works") {
+    val q = quads5(("s0", "p:x", "o0", "", ""))
+    val got = asSet5(GraphOps.updateQuadsQuery(q,
+      """INSERT DATA { <s1> <p:note> "my GRAPH theory notes" .
+        |GRAPH <g:1> { <s2> <p:y> <o2> } }""".stripMargin))
+    assert(got == Set(
+      ("s0", "p:x", "o0", "", ""),
+      ("s1", "p:note", "my GRAPH theory notes", XsdString, ""),
+      ("s2", "p:y", "o2", "", "g:1")))
+    val r = GraphOps.select(quads(("a", "p:v", "1", XsdInteger), ("b", "p:v", "1", XsdInteger)),
+      "SELECT REDUCED ?v WHERE { ?x <p:v> ?v }").collect()
+    assert(r.length == 1 && r(0).getString(0) == "1")
+  }
+
   // ---------------------------------------------------- language tags
 
   test("lang-tagged literals: @tag in DATA blocks, LANG, LANGMATCHES, DATATYPE=rdf:langString") {
