@@ -1932,18 +1932,21 @@ object GraphOps {
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank")).localCheckpoint()
     for (_ <- 1 to iterations) {
       val withDeg = ranks.join(outDeg, ranks("node") === outDeg("src"), "left")
-      // dangling mass: quantized BIGINT sum -> one scalar per round
+      // dangling mass: quantized BIGINT sum — kept as a 1-row FRAME and
+      // cross-joined in, so each round is ONE Spark job (the round-end
+      // localCheckpoint), not a separate collect per round
       val dangling = withDeg.filter(col("deg").isNull)
-        .agg(coalesce(sum(floor(col("rank") * Q).cast("long")), lit(0L)).as("q"))
-        .first().getLong(0) / Q
+        .agg((coalesce(sum(floor(col("rank") * Q).cast("long")), lit(0L)) / Q)
+          .as("dm"))
       val perEdge = withDeg.filter(col("deg").isNotNull)
         .select(col("src"), floor(col("rank") / col("deg") * Q).cast("long").as("q"))
       val contrib = edges.join(perEdge, "src")
         .groupBy(col("dst").as("node")).agg(sum(col("q")).as("qs"))
       ranks = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("node"),
           (lit((1 - damping) / n) +
-            lit(damping) * (coalesce(col("qs"), lit(0L)) / Q + lit(dangling / n))).as("rank"))
+            lit(damping) * (coalesce(col("qs"), lit(0L)) / Q + col("dm") / n)).as("rank"))
         .localCheckpoint()
     }
     ranks
