@@ -66,7 +66,7 @@ object GraphScale {
         Seq(
           gated("pagerank_3it", units) {
             GraphOps.pageRank(edges, iterations = 3)
-              .agg(sum(org.apache.spark.sql.functions.floor(col("rank") * 1e6)
+              .agg(sum(org.apache.spark.sql.functions.floor(col("rank") * 1e12)
                 .cast("long"))).head().getLong(0)
           },
           gated("triangles", units) {

@@ -713,6 +713,25 @@ object SparkEntry {
         |} ORDER BY ?r ?l""".stripMargin)
   }
 
+  /** N-Quads corpus round trip ([[NQuadsIO]]): the KG plus
+    * escape-stressing literals (a language tag, a backslash+tab lexical,
+    * a typed integer) serialized to canonical N-Quads lines and parsed
+    * back line-parallel — `serialize → parseLines` must be the identity,
+    * gated on the per-predicate profile including the escaped lexical
+    * form byte-for-byte (min_obj) and the dt channel (max_dt).
+    */
+  def kgNquadsRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val spicy = GraphOps.updateQuery(kgTriples(spark, dir),
+      "INSERT DATA { <urn:dm:region/0> <urn:voc:label> \"Afrika\"@de . " +
+        "<urn:dm:region/1> <urn:voc:note> \"back\\slash\ttab\" . " +
+        "<urn:dm:region/2> <urn:voc:pop> \"7\"^^<http://www.w3.org/2001/XMLSchema#integer> }")
+    NQuadsIO.parseLines(NQuadsIO.serialize(spicy)).drop("graph")
+      .groupBy(col("pred"))
+      .agg(count(lit(1)).as("n_triples"), min(col("obj")).as("min_obj"),
+        max(col("dt")).as("max_dt"))
+      .orderBy("pred")
+  }
+
   /** `sameTerm` as the join condition between two otherwise-unlinked
     * patterns (customer-nation × supplier-nation term identity) — the
     * equality Catalyst folds into an equi-join, counted per region.
@@ -1314,6 +1333,7 @@ object SparkEntry {
     "kg_graph_mgmt" -> (kgGraphMgmt(_, _)),
     "kg_lang_funcs" -> (kgLangFuncs(_, _)),
     "kg_triangles" -> (kgTriangles(_, _)),
+    "kg_nquads_roundtrip" -> (kgNquadsRoundtrip(_, _)),
     "kg_pagerank" -> (kgPageRank(_, _)),
     "kg_hash_funcs" -> (kgHashFuncs(_, _)),
     "kg_reachability" -> (kgReachability(_, _)),
@@ -1770,6 +1790,18 @@ object SparkEntry {
         |SELECT n_triangles, count(*) AS n_nodes, min(node) AS min_node,
         |  max(node) AS max_node
         |FROM pernode GROUP BY n_triangles ORDER BY n_triangles""".stripMargin,
+    // round-trip identity: the oracle is simply the INPUT profile — any
+    // escape/unescape asymmetry or dt-channel loss in serialize→parse
+    // would shift min_obj or max_dt
+    "kg_nquads_roundtrip" ->
+      s"""WITH $kgQuadsCte,
+         |extra(subj, pred, obj, dt) AS (VALUES
+         |  ('urn:dm:region/0', 'urn:voc:label', 'Afrika', '@de'),
+         |  ('urn:dm:region/1', 'urn:voc:note', 'back\\slash'||chr(9)||'tab', '$XsdString'),
+         |  ('urn:dm:region/2', 'urn:voc:pop', '7', '$XsdInteger')),
+         |g AS (SELECT * FROM kg UNION ALL SELECT * FROM extra)
+         |SELECT pred, count(*) AS n_triples, min(obj) AS min_obj, max(dt) AS max_dt
+         |FROM g GROUP BY pred ORDER BY pred""".stripMargin,
     // the de/en-filtered tagged labels (RFC 4647 basic filtering: the
     // "en" range admits "en-GB"; fr rows and the untagged label are
     // excluded) with their tags and the rdf:langString datatype

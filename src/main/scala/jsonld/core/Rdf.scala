@@ -245,6 +245,45 @@ object Rdf {
     sb.toString
   }
 
+  /** Parse ONE N-Quads line: `None` for blank/comment-empty lines,
+    * `Some((graphName, quad))` otherwise (`graphName` is `"@default"`
+    * for triples). Raises the spec syntax error on a malformed line.
+    * The per-line factoring is what lets the Spark layer parse corpus
+    * files line-parallel inside `mapPartitions`.
+    */
+  def parseNQuadLine(line: String, lineNo: Int): Option[(String, Quad)] = {
+    if (emptyRe.matches(line)) return None
+    lineRe.findFirstMatchIn(line) match {
+      case Some(m) =>
+        val subject: RdfNode =
+          if (m.group(1) != null) RIri(unescape(m.group(1))) else RBlank(m.group(2))
+        val predicate: RdfNode =
+          if (m.group(3) != null) RIri(unescape(m.group(3))) else RBlank(m.group(4))
+        val obj: RdfNode =
+          if (m.group(5) != null) RIri(unescape(m.group(5)))
+          else if (m.group(6) != null) RBlank(m.group(6))
+          else {
+            val value = unescape(m.group(7))
+            val lang = m.group(8)
+            val dt = if (m.group(9) != null) unescape(m.group(9))
+                     else if (lang != null) RdfLangString
+                     else XsdString
+            RLiteral(value, dt, if (lang == null) "" else lang)
+          }
+        val graphName =
+          if (m.group(10) != null) unescape(m.group(10))
+          else if (m.group(11) != null) m.group(11)
+          else "@default"
+        val graphNode: RdfNode =
+          if (graphName == "@default") null
+          else if (graphName.startsWith("_:")) RBlank(graphName)
+          else RIri(graphName)
+        Some((graphName, Quad(subject, predicate, obj, graphNode)))
+      case None =>
+        throw JsonLdError(JsonLdError.SyntaxError, s"error while parsing N-Quads; invalid quad. line: $lineNo")
+    }
+  }
+
   /** Parse an N-Quads document into a dataset, deduplicating quads within
     * each graph (set semantics, as the RDF data model requires).
     */
@@ -254,38 +293,9 @@ object Rdf {
     var lineNo = 0
     input.split("\n", -1).foreach { line =>
       lineNo += 1
-      if (!emptyRe.matches(line)) {
-        lineRe.findFirstMatchIn(line) match {
-          case Some(m) =>
-            val subject: RdfNode =
-              if (m.group(1) != null) RIri(unescape(m.group(1))) else RBlank(m.group(2))
-            val predicate: RdfNode =
-              if (m.group(3) != null) RIri(unescape(m.group(3))) else RBlank(m.group(4))
-            val obj: RdfNode =
-              if (m.group(5) != null) RIri(unescape(m.group(5)))
-              else if (m.group(6) != null) RBlank(m.group(6))
-              else {
-                val value = unescape(m.group(7))
-                val lang = m.group(8)
-                val dt = if (m.group(9) != null) unescape(m.group(9))
-                         else if (lang != null) RdfLangString
-                         else XsdString
-                RLiteral(value, dt, if (lang == null) "" else lang)
-              }
-            val graphName =
-              if (m.group(10) != null) unescape(m.group(10))
-              else if (m.group(11) != null) m.group(11)
-              else "@default"
-            val graphNode: RdfNode =
-              if (graphName == "@default") null
-              else if (graphName.startsWith("_:")) RBlank(graphName)
-              else RIri(graphName)
-            val q = Quad(subject, predicate, obj, graphNode)
-            val set = seen.getOrElseUpdate(graphName, mutable.HashSet.empty)
-            if (set.add(q)) ds.addQuads(graphName, Seq(q))
-          case None =>
-            throw JsonLdError(JsonLdError.SyntaxError, s"error while parsing N-Quads; invalid quad. line: $lineNo")
-        }
+      parseNQuadLine(line, lineNo).foreach { case (graphName, q) =>
+        val set = seen.getOrElseUpdate(graphName, mutable.HashSet.empty)
+        if (set.add(q)) ds.addQuads(graphName, Seq(q))
       }
     }
     ds
