@@ -1240,23 +1240,51 @@ object GraphOps {
     * closure suffix after the CURIE (`dm:parent+`) survives because the
     * local-name class excludes `+*?`.
     */
+  private val BaseDeclRe = """(?is)^\s*BASE\s+<([^<>\s]*)>""".r
+  private val AbsoluteIriRe = """^[A-Za-z][A-Za-z0-9+.\-]*:""".r
+
   def expandPrefixes(text: String): String = {
+    // prologue: BASE and PREFIX declarations in any interleaving (a
+    // PREFIX expansion is NOT base-resolved — per SPARQL, prefix IRIs
+    // resolve against the base at declaration; callers here always
+    // declare absolute prefix IRIs)
     val decls = scala.collection.mutable.LinkedHashMap[String, String]()
+    var base: Option[String] = None
     var rest = text
-    var m = PrefixDeclRe.findFirstMatchIn(rest)
-    while (m.isDefined) {
-      decls += m.get.group(1) -> m.get.group(2)
-      rest = rest.substring(m.get.end)
-      m = PrefixDeclRe.findFirstMatchIn(rest)
+    var progressing = true
+    while (progressing) {
+      (PrefixDeclRe.findFirstMatchIn(rest), BaseDeclRe.findFirstMatchIn(rest)) match {
+        case (Some(m), _) =>
+          decls += m.group(1) -> m.group(2)
+          rest = rest.substring(m.end)
+        case (None, Some(b)) =>
+          base = Some(b.group(1))
+          rest = rest.substring(b.end)
+        case _ => progressing = false
+      }
     }
-    if (decls.isEmpty) return text
+    if (decls.isEmpty && base.isEmpty) return text
     val (litMasked, lits) = maskLiterals(rest)
-    val (masked, iris) = maskIris(litMasked)
-    val curieRe = ("""(?<![\w:<])(""" +
-      decls.keys.map(java.util.regex.Pattern.quote).mkString("|") +
-      """):([\w#.\-]*[\w#\-])""").r
-    val expanded = curieRe.replaceAllIn(masked, mm =>
-      java.util.regex.Matcher.quoteReplacement("<" + decls(mm.group(1)) + mm.group(2) + ">"))
+    val (masked, iris0) = maskIris(litMasked)
+    // BASE: resolve every RELATIVE <iri> token against it (RFC 3986 via
+    // the core resolver the W3C suites gate); absolute IRIs untouched
+    val iris = base match {
+      case Some(b) => iris0.map { tok =>
+        val v = tok.stripPrefix("<").stripSuffix(">")
+        if (AbsoluteIriRe.findFirstIn(v).isDefined) tok
+        else "<" + jsonld.core.Uri.resolve(b, v) + ">"
+      }
+      case None => iris0
+    }
+    val expanded =
+      if (decls.isEmpty) masked
+      else {
+        val curieRe = ("""(?<![\w:<])(""" +
+          decls.keys.map(java.util.regex.Pattern.quote).mkString("|") +
+          """):([\w#.\-]*[\w#\-])""").r
+        curieRe.replaceAllIn(masked, mm =>
+          java.util.regex.Matcher.quoteReplacement("<" + decls(mm.group(1)) + mm.group(2) + ">"))
+      }
     unmask(unmaskIris(expanded, iris), lits)
   }
 

@@ -1447,6 +1447,18 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.length == 1 && r(0).getString(0) == "1")
   }
 
+  test("BASE declaration resolves relative IRIs via RFC 3986; absolute ones untouched") {
+    val kg = quads(
+      ("http://ex.org/data/n1", "http://ex.org/voc#name", "ann", XsdString),
+      ("http://ex.org/data/n1", "p:other", "x", XsdString))
+    val got = GraphOps.select(kg,
+      """BASE <http://ex.org/data/>
+        |PREFIX v: <http://ex.org/voc#>
+        |SELECT ?nm WHERE { <n1> v:name ?nm . <n1> <../voc#name> ?nm }""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("ann"))
+  }
+
   // ---------------------------------------------------- language tags
 
   test("lang-tagged literals: @tag in DATA blocks, LANG, LANGMATCHES, DATATYPE=rdf:langString") {
