@@ -1226,8 +1226,16 @@ object GraphOps {
     if (ConstructHeadRe.pattern.matcher(masked).matches()) constructQuery(quads, text)
     else if (AskHeadRe.pattern.matcher(masked).matches()) askQuery(quads, text)
     else if (DescribeHeadRe.pattern.matcher(text.trim).matches()) describeQuery(quads, text)
+    else if (UpdateFormRe.findFirstIn(masked).isDefined)
+      // update forms return the UPDATED table: the 5-column named-graph
+      // surface when the input carries a graph column, else the plain one
+      if (quads.columns.contains("graph")) updateQuadsQuery(quads, text)
+      else updateQuery(quads, text)
     else select(quads, text)
   }
+
+  private val UpdateFormRe =
+    """(?is)^\s*(?:INSERT|DELETE|CLEAR|DROP|CREATE|ADD|COPY|MOVE|WITH)\b""".r
 
   private val PrefixDeclRe = """(?is)^\s*PREFIX\s+(\w+):\s*<([^<>\s]*)>""".r
 

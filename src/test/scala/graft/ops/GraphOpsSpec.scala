@@ -1459,6 +1459,15 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq("ann"))
   }
 
+  test("query() dispatches update forms: 4-col to updateQuery, 5-col to updateQuadsQuery") {
+    val flat = GraphOps.query(quads(("s", "p:x", "o", "")),
+      "INSERT DATA { <s2> <p:y> <o2> }")
+    assert(asSet(flat) == Set(("s", "p:x", "o", ""), ("s2", "p:y", "o2", "")))
+    val named = GraphOps.query(quads5(("s", "p:x", "o", "", "g:1")),
+      "CLEAR GRAPH <g:1>")
+    assert(named.count() == 0)
+  }
+
   // ---------------------------------------------------- language tags
 
   test("lang-tagged literals: @tag in DATA blocks, LANG, LANGMATCHES, DATATYPE=rdf:langString") {
