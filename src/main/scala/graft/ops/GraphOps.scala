@@ -1966,11 +1966,10 @@ object GraphOps {
     val n = nodes.count()
     val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank")).localCheckpoint()
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val withDeg = ranks.join(outDeg, ranks("node") === outDeg("src"), "left")
       // dangling mass: quantized BIGINT sum — kept as a 1-row FRAME and
-      // cross-joined in, so each round is ONE Spark job (the round-end
-      // localCheckpoint), not a separate collect per round
+      // cross-joined in, so a round adds NO driver action of its own
       val dangling = withDeg.filter(col("deg").isNull)
         .agg((coalesce(sum(floor(col("rank") * Q).cast("long")), lit(0L)) / Q)
           .as("dm"))
@@ -1978,12 +1977,17 @@ object GraphOps {
         .select(col("src"), floor(col("rank") / col("deg") * Q).cast("long").as("q"))
       val contrib = edges.join(perEdge, "src")
         .groupBy(col("dst").as("node")).agg(sum(col("q")).as("qs"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      val next = nodes.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"),
           (lit((1 - damping) / n) +
             lit(damping) * (coalesce(col("qs"), lit(0L)) / Q + col("dm") / n)).as("rank"))
-        .localCheckpoint()
+      // persist (lazy, computed once for the two consumers of the next
+      // round) instead of an EAGER per-round localCheckpoint — the whole
+      // iteration chain then runs as one pipelined DAG at consumption;
+      // a periodic checkpoint still bounds lineage depth for long runs
+      ranks = if (i % 5 == 0 && i < iterations) next.localCheckpoint()
+              else next.persist()
     }
     ranks
   }
