@@ -713,6 +713,16 @@ object SparkEntry {
         |} ORDER BY ?r ?l""".stripMargin)
   }
 
+  /** Aggregates over full value expressions — `(SUM(?rk * ?rk) AS ?ss)`
+    * etc., the analytic tail SPARQL 1.1 allows and simple-variable-only
+    * grammars reject.
+    */
+  def kgAggExpr(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """SELECT (SUM(?rk * ?rk) AS ?ss) (AVG(?rk + 1) AS ?ar)
+        |       (MAX(?rk * 3 - 1) AS ?mx)
+        |WHERE { ?n <urn:dm:nation#n_regionkey> ?rk }""".stripMargin)
+
   /** N-Quads corpus round trip ([[NQuadsIO]]): the KG plus
     * escape-stressing literals (a language tag, a backslash+tab lexical,
     * a typed integer) serialized to canonical N-Quads lines and parsed
@@ -1334,6 +1344,7 @@ object SparkEntry {
     "kg_lang_funcs" -> (kgLangFuncs(_, _)),
     "kg_triangles" -> (kgTriangles(_, _)),
     "kg_nquads_roundtrip" -> (kgNquadsRoundtrip(_, _)),
+    "kg_agg_expr" -> (kgAggExpr(_, _)),
     "kg_pagerank" -> (kgPageRank(_, _)),
     "kg_hash_funcs" -> (kgHashFuncs(_, _)),
     "kg_reachability" -> (kgReachability(_, _)),
@@ -1790,6 +1801,11 @@ object SparkEntry {
         |SELECT n_triangles, count(*) AS n_nodes, min(node) AS min_node,
         |  max(node) AS max_node
         |FROM pernode GROUP BY n_triangles ORDER BY n_triangles""".stripMargin,
+    "kg_agg_expr" ->
+      """SELECT CAST(sum(n_regionkey * n_regionkey) AS DOUBLE) AS ss,
+        |  CAST(avg(n_regionkey + 1) AS DOUBLE) AS ar,
+        |  CAST(max(n_regionkey * 3 - 1) AS DOUBLE) AS mx
+        |FROM nation""".stripMargin,
     // round-trip identity: the oracle is simply the INPUT profile — any
     // escape/unescape asymmetry or dt-channel loss in serialize→parse
     // would shift min_obj or max_dt

@@ -1356,10 +1356,15 @@ object GraphOps {
   private final case class ProjAgg(func: String, arg: Option[String],
                                    alias: String,
                                    distinctArg: Boolean = false,
-                                   sep: Option[String] = None) extends Proj
+                                   sep: Option[String] = None,
+                                   exprArg: Option[ValueExpr] = None) extends Proj
 
   private val AggProjRe =
     """(?i)^\(\s*(COUNT|SUM|MIN|MAX|AVG|SAMPLE)\s*\(\s*(DISTINCT\s+)?(\*|\?\w+)\s*\)\s+AS\s+\?(\w+)\s*\)$""".r
+  // aggregate over a full value EXPRESSION — `(SUM(?price * ?qty) AS ?rev)`;
+  // tried after the simple-variable form, before plain expression projs
+  private val AggExprProjRe =
+    """(?i)^\(\s*(SUM|MIN|MAX|AVG)\s*\(\s*(.+)\s*\)\s+AS\s+\?(\w+)\s*\)$""".r
   private val GroupConcatRe =
     """(?i)^\(\s*GROUP_CONCAT\s*\(\s*\?(\w+)\s*(?:;\s*SEPARATOR\s*=\s*("[^"]*")\s*)?\)\s+AS\s+\?(\w+)\s*\)$""".r
   private val GroupByRe = """(?i)\bGROUP\s+BY((?:\s+\?\w+)+)""".r
@@ -1399,6 +1404,9 @@ object GraphOps {
           ProjAgg(f, if (arg == "*") None else Some(arg.drop(1)), alias,
             distinctArg = dist != null)
         case t if VarRe.pattern.matcher(t).matches() => ProjVar(t.drop(1))
+        case AggExprProjRe(func, inner, alias) =>
+          ProjAgg(func.toUpperCase, None, alias,
+            exprArg = Some(parseValueExpr(um(inner))))
         case t @ AsAliasParenRe(expr, alias) =>
           // non-aggregate expression projection: `(?a * 2 AS ?x)`
           ProjExpr(parseValueExpr(um(expr)), alias)
@@ -1407,6 +1415,31 @@ object GraphOps {
       }.toSeq
       (distinct, projs)
     }
+  }
+
+  /** The simple-argument (`*` / `?var`) aggregate column of a ProjAgg. */
+  private def simpleAggColumn(a: ProjAgg): Column = a.func match {
+    case "COUNT" if a.distinctArg =>
+      countDistinct(col(a.arg.getOrElse(
+        throw new IllegalArgumentException("COUNT(DISTINCT) needs a ?variable"))))
+    case "COUNT" => a.arg.map(v => count(col(v))).getOrElse(count(lit(1)))
+    case "SUM" => sum(col(a.arg.getOrElse(
+      throw new IllegalArgumentException("SUM needs a ?variable"))).cast("double"))
+    case "AVG" => avg(col(a.arg.getOrElse(
+      throw new IllegalArgumentException("AVG needs a ?variable"))).cast("double"))
+    case "MIN" => min(col(a.arg.getOrElse(
+      throw new IllegalArgumentException("MIN needs a ?variable"))))
+    case "MAX" => max(col(a.arg.getOrElse(
+      throw new IllegalArgumentException("MAX needs a ?variable"))))
+    // SPARQL leaves SAMPLE's pick implementation-defined; min makes it
+    // deterministic (and cross-engine replayable)
+    case "SAMPLE" => min(col(a.arg.get))
+    // SPARQL leaves GROUP_CONCAT's order implementation-defined; sorting
+    // before the join makes it deterministic across partitionings/
+    // retries — the only shuffle-stable choice
+    case "GROUP_CONCAT" =>
+      array_join(array_sort(collect_list(col(a.arg.get).cast("string"))),
+        a.sep.getOrElse(" "))
   }
 
   /** Compile the tail modifiers onto the solution bindings: aggregate /
@@ -1451,28 +1484,19 @@ object GraphOps {
         require(stray.isEmpty,
           s"non-aggregated projection(s) ${stray.mkString(", ")} must appear in GROUP BY")
         val aggCols = aggs.map { a =>
-          val c = a.func match {
-            case "COUNT" if a.distinctArg =>
-              countDistinct(col(a.arg.getOrElse(
-                throw new IllegalArgumentException("COUNT(DISTINCT) needs a ?variable"))))
-            case "COUNT" => a.arg.map(v => count(col(v))).getOrElse(count(lit(1)))
-            case "SUM" => sum(col(a.arg.getOrElse(
-              throw new IllegalArgumentException("SUM needs a ?variable"))).cast("double"))
-            case "AVG" => avg(col(a.arg.getOrElse(
-              throw new IllegalArgumentException("AVG needs a ?variable"))).cast("double"))
-            case "MIN" => min(col(a.arg.getOrElse(
-              throw new IllegalArgumentException("MIN needs a ?variable"))))
-            case "MAX" => max(col(a.arg.getOrElse(
-              throw new IllegalArgumentException("MAX needs a ?variable"))))
-            // SPARQL leaves SAMPLE's pick implementation-defined; min
-            // makes it deterministic (and cross-engine replayable)
-            case "SAMPLE" => min(col(a.arg.get))
-            // SPARQL leaves GROUP_CONCAT's order implementation-defined;
-            // sorting before the join makes it deterministic across
-            // partitionings/retries — the only shuffle-stable choice
-            case "GROUP_CONCAT" =>
-              array_join(array_sort(collect_list(col(a.arg.get).cast("string"))),
-                a.sep.getOrElse(" "))
+          val c = a.exprArg match {
+            case Some(e) =>
+              // expression aggregate: the inner expression's own typing
+              // applies (arithmetic is double; string funcs are string)
+              a.func match {
+                case "SUM" => sum(e.column.cast("double"))
+                case "AVG" => avg(e.column.cast("double"))
+                case "MIN" => min(e.column)
+                case "MAX" => max(e.column)
+                case other => throw new IllegalArgumentException(
+                  s"$other does not take an expression argument")
+              }
+            case None => simpleAggColumn(a)
           }
           c.as(a.alias)
         }

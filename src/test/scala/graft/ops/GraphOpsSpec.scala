@@ -1468,6 +1468,17 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(named.count() == 0)
   }
 
+  test("aggregates over expressions: (SUM(?a * ?b) AS ?x), AVG/MIN/MAX forms") {
+    val kg = quads(
+      ("o1", "p:price", "3", XsdInteger), ("o1", "p:qty", "4", XsdInteger),
+      ("o2", "p:price", "5", XsdInteger), ("o2", "p:qty", "2", XsdInteger))
+    val got = GraphOps.select(kg,
+      """SELECT (SUM(?p * ?q) AS ?rev) (AVG(?p + ?q) AS ?apq) (MAX(?p - ?q) AS ?mx)
+        |WHERE { ?o <p:price> ?p . ?o <p:qty> ?q }""".stripMargin)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got == Seq((22.0, 7.0, 3.0)))
+  }
+
   // ---------------------------------------------------- language tags
 
   test("lang-tagged literals: @tag in DATA blocks, LANG, LANGMATCHES, DATATYPE=rdf:langString") {
