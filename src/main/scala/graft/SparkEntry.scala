@@ -690,6 +690,76 @@ object SparkEntry {
       .orderBy("n_triangles")
   }
 
+  /** Local clustering coefficients ([[GraphOps.clusteringCoefficient]])
+    * over the same chord graph as [[kgTriangles]], gated on the
+    * (degree, coeff_micro) histogram. The coefficient is integer
+    * micro-units from pure BIGINT arithmetic, so the engine's
+    * degree-ordered triangle enumeration and the oracle's id-ordered
+    * 3-way join must agree bit-for-bit.
+    */
+  def kgClustering(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"))
+    val n = docs.count()
+    def chord(off: org.apache.spark.sql.Column) =
+      docs.select(col("doc_id").as("src"), (off % n).as("dst"))
+    val edges = chord(col("doc_id") + 1)
+      .union(chord(col("doc_id") + 2))
+      .union(chord(col("doc_id") * 7 + 3))
+    GraphOps.clusteringCoefficient(edges)
+      .groupBy(col("degree"), col("coeff_micro"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
+        max(col("node")).as("max_node"))
+      .orderBy("degree", "coeff_micro")
+  }
+
+  /** 8-core membership ([[GraphOps.kCore]]) of the chord graph overlaid
+    * with a dense circulant ring on the multiples of 10 (offsets
+    * 10..50 → internal degree 10) and a sparse ring on multiples of 25
+    * (peels away): the periphery erodes over three peel rounds, the
+    * dense ring survives. Gated on the full member list with in-core
+    * degrees; the oracle replays the peel as unrolled rounds (6 — past
+    * the measured fixpoint at both SFs; extra rounds are no-ops).
+    */
+  def kgKcore(spark: SparkSession, dir: String): DataFrame = {
+    GraphOps.kCore(kcoreEdges(spark, dir), k = 8)
+      .orderBy("node")
+  }
+
+  private def kcoreEdges(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"))
+    val n = docs.count()
+    def chord(off: org.apache.spark.sql.Column) =
+      docs.select(col("doc_id").as("src"), (off % n).as("dst"))
+    def ring(m: Int, offs: Seq[Int]) = offs.map { j =>
+      docs.filter(col("doc_id") % m === 0)
+        .select(col("doc_id").as("src"), ((col("doc_id") + j) % n).as("dst"))
+    }.reduce(_.union(_))
+    chord(col("doc_id") + 1)
+      .union(chord(col("doc_id") + 2))
+      .union(chord(col("doc_id") * 7 + 3))
+      .union(ring(10, Seq(10, 20, 30, 40, 50)))
+      .union(ring(25, Seq(25, 50)))
+  }
+
+  /** HITS hubs/authorities ([[GraphOps.hits]], 2 quantized rounds) over
+    * the KG's IRI-edge graph — the link-analysis complement of
+    * [[kgPageRank]]: nations are the authorities customers/suppliers
+    * point at, regions sit downstream. The oracle replays both rounds'
+    * exact expression tree (BIGINT twelfth-unit sums, L1 totals), so the
+    * top-10 micro-scores are value-gated.
+    */
+  def kgHits(spark: SparkSession, dir: String): DataFrame = {
+    val kg = kgTriples(spark, dir)
+    GraphOps.hits(
+        kg.filter(col("dt") === "")
+          .select(col("subj").as("src"), col("obj").as("dst")),
+        iterations = 2)
+      .select(col("node"), round(col("hub") * 1e6, 4).as("hub_ppm"),
+        round(col("auth") * 1e6, 4).as("auth_ppm"))
+      .orderBy(col("auth_ppm").desc, col("hub_ppm").desc, col("node"))
+      .limit(10)
+  }
+
   /** Language-tagged literals end-to-end: `"lex"@tag` INSERT DATA syntax
     * (tag rides the dt slot as `"@tag"`), then LANG / LANGMATCHES /
     * DATATYPE over the tagged graph — RFC 4647 basic filtering ("en"
@@ -1343,6 +1413,9 @@ object SparkEntry {
     "kg_graph_mgmt" -> (kgGraphMgmt(_, _)),
     "kg_lang_funcs" -> (kgLangFuncs(_, _)),
     "kg_triangles" -> (kgTriangles(_, _)),
+    "kg_clustering" -> (kgClustering(_, _)),
+    "kg_kcore" -> (kgKcore(_, _)),
+    "kg_hits" -> (kgHits(_, _)),
     "kg_nquads_roundtrip" -> (kgNquadsRoundtrip(_, _)),
     "kg_agg_expr" -> (kgAggExpr(_, _)),
     "kg_pagerank" -> (kgPageRank(_, _)),
@@ -1487,6 +1560,72 @@ object SparkEntry {
     * (`r$i`) — the same ops in the same order as the Spark loop, so the
     * doubles agree bitwise before the final display rounding.
     */
+  /** k-core peel replayed as unrolled rounds (the fixpoint is unique, so
+    * rounds past convergence are no-ops — `rounds` must exceed the
+    * measured peel depth, 3 at both test SFs).
+    */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    // every round's CTEs are MATERIALIZED: round i references round i-1
+    // three times, so an inlining planner would otherwise expand the
+    // 6-round chain into ~4^6 copies of the edge-generation subtree
+    def round(i: Int): String =
+      s"""d$i AS MATERIALIZED (SELECT node, count(*) AS c FROM (
+         |  SELECT a AS node FROM u${i - 1} UNION ALL SELECT b FROM u${i - 1}) GROUP BY node),
+         |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE c >= $k),
+         |u$i AS MATERIALIZED (SELECT a, b FROM u${i - 1} JOIN k$i x ON a = x.node JOIN k$i y ON b = y.node)""".stripMargin
+    // `docs` is MATERIALIZED so the ten edge-generator branches share ONE
+    // parquet scan instead of re-opening the file per branch
+    val ring10 = Seq(10, 20, 30, 40, 50).map(j =>
+      s"  UNION ALL SELECT doc_id, (doc_id + $j) % (SELECT n FROM p) FROM docs WHERE doc_id % 10 = 0").mkString("\n")
+    val ring25 = Seq(25, 50).map(j =>
+      s"  UNION ALL SELECT doc_id, (doc_id + $j) % (SELECT n FROM p) FROM docs WHERE doc_id % 25 = 0").mkString("\n")
+    s"""WITH docs AS MATERIALIZED (SELECT doc_id FROM documents),
+       |p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+       |e0 AS (
+       |  SELECT doc_id AS src, (doc_id + 1) % (SELECT n FROM p) AS dst FROM docs
+       |  UNION ALL SELECT doc_id, (doc_id + 2) % (SELECT n FROM p) FROM docs
+       |  UNION ALL SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM p) FROM docs
+       |$ring10
+       |$ring25),
+       |u0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM e0 WHERE src <> dst),
+       |${(1 to rounds).map(round).mkString(",\n")}
+       |SELECT node, count(*) AS core_degree FROM (
+       |  SELECT a AS node FROM u$rounds UNION ALL SELECT b FROM u$rounds)
+       |GROUP BY node ORDER BY node""".stripMargin
+  }
+
+  /** HITS rounds replayed with the identical quantized expression tree
+    * ([[graft.ops.GraphOps.hits]]): BIGINT twelfth-unit per-node scores,
+    * BIGINT L1 totals, double division — bit-equal across engines.
+    */
+  private def hitsOracleSql(iterations: Int): String = {
+    def round(i: Int): String =
+      s"""hq$i AS (SELECT node, CAST(floor(hub * 1e12) AS BIGINT) AS q FROM h${i - 1}),
+         |as$i AS (SELECT edges.dst AS node, sum(q) AS qs
+         |  FROM edges JOIN hq$i ON edges.src = hq$i.node GROUP BY edges.dst),
+         |at$i AS (SELECT sum(qs) AS tot FROM as$i),
+         |a$i AS (SELECT nodes.node,
+         |    CAST(COALESCE(qs, 0) AS DOUBLE) / (SELECT tot FROM at$i) AS auth
+         |  FROM nodes LEFT JOIN as$i ON nodes.node = as$i.node),
+         |aq$i AS (SELECT node, CAST(floor(auth * 1e12) AS BIGINT) AS q FROM a$i),
+         |hs$i AS (SELECT edges.src AS node, sum(q) AS qs
+         |  FROM edges JOIN aq$i ON edges.dst = aq$i.node GROUP BY edges.src),
+         |ht$i AS (SELECT sum(qs) AS tot FROM hs$i),
+         |h$i AS (SELECT nodes.node,
+         |    CAST(COALESCE(qs, 0) AS DOUBLE) / (SELECT tot FROM ht$i) AS hub
+         |  FROM nodes LEFT JOIN hs$i ON nodes.node = hs$i.node)""".stripMargin
+    s"""WITH $kgQuadsCte,
+       |edges AS (SELECT DISTINCT subj AS src, obj AS dst FROM kg WHERE dt = ''),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |h0 AS (SELECT node, 1.0 AS hub FROM nodes),
+       |${(1 to iterations).map(round).mkString(",\n")}
+       |SELECT h$iterations.node, round(hub * 1e6, 4) AS hub_ppm,
+       |  round(auth * 1e6, 4) AS auth_ppm
+       |FROM h$iterations JOIN a$iterations ON h$iterations.node = a$iterations.node
+       |ORDER BY auth_ppm DESC, hub_ppm DESC, h$iterations.node LIMIT 10""".stripMargin
+  }
+
   private def pageRankOracleSql(iterations: Int): String = {
     def iterCtes(i: Int): String = {
       val p = s"r${i - 1}"
@@ -1801,6 +1940,37 @@ object SparkEntry {
         |SELECT n_triangles, count(*) AS n_nodes, min(node) AS min_node,
         |  max(node) AS max_node
         |FROM pernode GROUP BY n_triangles ORDER BY n_triangles""".stripMargin,
+    // clustering coefficient: id-ordered triangle join + degree counts +
+    // the SAME integer micro-unit arithmetic as the engine
+    "kg_clustering" ->
+      """WITH p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS src, (doc_id + 1) % (SELECT n FROM p) AS dst FROM documents
+        |  UNION ALL SELECT doc_id, (doc_id + 2) % (SELECT n FROM p) FROM documents
+        |  UNION ALL SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM p) FROM documents),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e0 WHERE src <> dst),
+        |tri AS (SELECT e1.a AS t1, e1.b AS t2, e2.b AS t3
+        |  FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |corners AS (SELECT t1 AS node FROM tri UNION ALL SELECT t2 FROM tri
+        |  UNION ALL SELECT t3 FROM tri),
+        |deg AS (SELECT node, count(*) AS degree FROM (
+        |  SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY node),
+        |pernode AS (SELECT deg.node, deg.degree,
+        |    CAST(COALESCE(c.n_tri, 0) AS BIGINT) AS n_triangles
+        |  FROM deg LEFT JOIN (SELECT node, count(*) AS n_tri FROM corners GROUP BY node) c
+        |  ON deg.node = c.node),
+        |cc AS (SELECT node, degree, n_triangles,
+        |    CASE WHEN degree >= 2 THEN CAST(floor(
+        |      CAST(2000000 * n_triangles AS DOUBLE) / (degree * (degree - 1))) AS BIGINT)
+        |    ELSE 0 END AS coeff_micro
+        |  FROM pernode)
+        |SELECT degree, coeff_micro, count(*) AS n_nodes, min(node) AS min_node,
+        |  max(node) AS max_node
+        |FROM cc GROUP BY degree, coeff_micro ORDER BY degree, coeff_micro""".stripMargin,
+    "kg_kcore" -> kcoreOracleSql(k = 8, rounds = 6),
+    "kg_hits" -> hitsOracleSql(iterations = 2),
     "kg_agg_expr" ->
       """SELECT CAST(sum(n_regionkey * n_regionkey) AS DOUBLE) AS ss,
         |  CAST(avg(n_regionkey + 1) AS DOUBLE) AS ar,

@@ -2280,6 +2280,137 @@ object GraphOps {
       .select(col("n").as("node"), coalesce(col("c"), lit(0L)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient per node: triangles through the node
+    * over the wedges it centers — `2·tri / (deg·(deg−1))` on the
+    * undirected simple graph. The coefficient is emitted in INTEGER
+    * micro-units (`floor(1e6 · 2 · tri / (deg · (deg − 1)))` via pure
+    * BIGINT arithmetic), so the value is bit-identical across engines,
+    * partitionings, and retries — same quantization discipline as
+    * [[pageRank]]. Cost on top of [[triangleCount]] is one degree
+    * aggregation plus one equi-join on the uniform node id; at corpus
+    * scale the triangle enumeration dominates and its degree-ordered
+    * orientation already bounds the wedge fan-out (see there). Nodes of
+    * degree < 2 center no wedge and get coefficient 0 by convention.
+    *
+    * Output: (node, degree, n_triangles, coeff_micro).
+    */
+  def clusteringCoefficient(edges0: DataFrame): DataFrame = {
+    val und = edges0.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    triangleCount(edges0).join(deg, Seq("node"))
+      .select(col("node"), col("degree"), col("n_triangles"),
+        when(col("degree") >= 2,
+            (lit(2000000L) * col("n_triangles")) /
+              (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0L)).cast("long").as("coeff_micro"))
+  }
+
+  /** k-core decomposition membership: the maximal induced subgraph in
+    * which every node has degree ≥ k, found by the standard peeling
+    * fixpoint — repeatedly drop nodes whose CURRENT induced degree is
+    * below k. Each round is one degree aggregation over the surviving
+    * edge set plus two semi-joins restricting edges to surviving
+    * endpoints — all keyed on the uniform node id, lineage cut per
+    * round. Peeling removes at least one node per non-final round, but
+    * in practice converges in a handful of rounds (each round removes
+    * the whole current "shell"); `maxIterations` bounds the loop and the
+    * method RAISES rather than returning a superset of the core. The
+    * k-core is unique (the union of two subgraphs with min-degree ≥ k
+    * has min-degree ≥ k), so a declarative unrolled replay — the DuckDB
+    * oracle chains the same peel round a fixed number of times; extra
+    * rounds past the fixpoint are no-ops — value-gates the result.
+    *
+    * At 10^12 edges: the edge table shrinks monotonically (each round's
+    * semi-joins only ever REMOVE rows), so round cost decays; the
+    * convergence test rides the degree aggregate already computed (no
+    * extra job). Swap localCheckpoint → reliable checkpoint on a real
+    * cluster, as with every iterative op here.
+    *
+    * Output: (node, core_degree) for k-core members — their degree
+    * WITHIN the core (≥ k by construction).
+    */
+  def kCore(edges0: DataFrame, k: Int, maxIterations: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var und = edges0.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().localCheckpoint()
+    var i = 0
+    while (i < maxIterations) {
+      val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("core_degree"))
+        .localCheckpoint()
+      val keep = deg.filter(col("core_degree") >= k)
+      if (deg.filter(col("core_degree") < k).isEmpty) return keep
+      und = und
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
+      i += 1
+    }
+    throw new IllegalStateException(
+      s"kCore(k=$k) did not reach its peeling fixpoint in $maxIterations " +
+        "rounds — raise maxIterations")
+  }
+
+  /** HITS (Kleinberg) hub/authority scores over a directed edge list,
+    * fixed `iterations` rounds of the mutual recurrence with L1
+    * normalization: `auth ∝ Σ hub(in-neighbors)`, then
+    * `hub ∝ Σ auth(out-neighbors)`. Every sum is QUANTIZED — per-node
+    * scores truncate to BIGINT twelfth-units before the aggregate, and
+    * the L1 total is itself a BIGINT sum — so results are bit-identical
+    * across partitionings/retries and replayable declaratively (the
+    * DuckDB oracle chains the identical expression tree per round, the
+    * [[pageRank]] discipline). Per round: two equi-joins + two hash
+    * aggregations on uniform node ids, one broadcast 1-row total each —
+    * no driver action inside the loop; lineage is cut per round.
+    * Fixed-round semantics (not convergence-tested): HITS is specified
+    * here as an N-round operator precisely so two engines can agree on
+    * the exact output.
+    *
+    * Output: (node, hub, auth) for every node incident to an edge,
+    * scores L1-normalized within each vector.
+    */
+  def hits(edges0: DataFrame, iterations: Int = 2): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val Q = 1e12
+    val edges = edges0.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct().localCheckpoint()
+    var hub = nodes.select(col("node"), lit(1.0).as("hub"))
+    var auth: DataFrame = null
+    for (i <- 1 to iterations) {
+      // auth step: quantize hub, sum into each edge target, L1-normalize
+      val hq = hub.select(col("node"), floor(col("hub") * Q).cast("long").as("q"))
+      val aSum = edges.join(hq, edges("src") === hq("node"))
+        .groupBy(col("dst").as("node")).agg(sum(col("q")).as("qs"))
+      val aTot = aSum.agg(sum(col("qs")).as("tot"))
+      auth = nodes.join(aSum, Seq("node"), "left")
+        .crossJoin(broadcast(aTot))
+        .select(col("node"),
+          (coalesce(col("qs"), lit(0L)).cast("double") / col("tot")).as("auth"))
+        .persist()
+      // hub step: quantize auth, sum into each edge source, L1-normalize
+      val aq = auth.select(col("node"), floor(col("auth") * Q).cast("long").as("q"))
+      val hSum = edges.join(aq, edges("dst") === aq("node"))
+        .groupBy(col("src").as("node")).agg(sum(col("q")).as("qs"))
+      val hTot = hSum.agg(sum(col("qs")).as("tot"))
+      hub = nodes.join(hSum, Seq("node"), "left")
+        .crossJoin(broadcast(hTot))
+        .select(col("node"),
+          (coalesce(col("qs"), lit(0L)).cast("double") / col("tot")).as("hub"))
+      hub = if (i % 5 == 0 && i < iterations) hub.localCheckpoint()
+            else hub.persist()
+    }
+    hub.join(auth, Seq("node"))
+  }
+
   /** Single-source-set shortest HOP distances by level-synchronous BFS:
     * round d's frontier is exactly the set of nodes first reached at
     * distance d, so no per-node min() is ever needed — a node entering

@@ -1433,6 +1433,51 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map("1" -> 0L, "2" -> 0L, "3" -> 0L, "4" -> 0L))
   }
 
+  test("clusteringCoefficient: K4 corner = 1.0, pendant = 0, open wedge center = 0") {
+    val sp = spark; import sp.implicits._
+    // K4 {a,b,c,d}: every node deg 3, 3 triangles → coeff 2*3/(3*2) = 1.
+    // e hangs off d (deg 1 → 0 by convention); d now deg 4, still 3
+    // triangles → 2*3/(4*3) = 0.5 → 500000 micro.
+    val edges = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+      ("c", "d"), ("d", "e")).toDF("src", "dst")
+    val got = GraphOps.clusteringCoefficient(edges)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a") == ((3L, 3L, 1000000L)))
+    assert(got("d") == ((4L, 3L, 500000L)))
+    assert(got("e") == ((1L, 0L, 0L)))
+  }
+
+  test("kCore: peeling erodes the pendant chain, keeps the clique, raises in-core degrees") {
+    val sp = spark; import sp.implicits._
+    // K4 plus a chain d-e-f: k=2 drops f then e (two peel rounds, the
+    // chain re-exposes), keeps K4 with degree 3 each; k=4 empties.
+    val edges = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+      ("c", "d"), ("d", "e"), ("e", "f")).toDF("src", "dst")
+    val core2 = GraphOps.kCore(edges, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(core2 == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    assert(GraphOps.kCore(edges, k = 4).isEmpty)
+  }
+
+  test("hits: authority concentrates on the pointed-at hub target; bit-identical across partitionings") {
+    val sp = spark; import sp.implicits._
+    // s1,s2,s3 all point at t; s1 also points at u. t has no out-edges.
+    val edges = Seq(("s1", "t"), ("s2", "t"), ("s3", "t"), ("s1", "u"))
+      .toDF("src", "dst")
+    val got = GraphOps.hits(edges, iterations = 2)
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    // t is the only authority target of 3 hubs; u only of s1
+    assert(got("t")._2 > got("u")._2)
+    assert(got("t")._2 > 0.7, s"t should dominate authority, got ${got("t")._2}")
+    // t and u have no out-edges → zero hub
+    assert(got("t")._1 == 0.0 && got("u")._1 == 0.0)
+    // s1 points at both t and u → strictly more hub mass than s2/s3
+    assert(got("s1")._1 > got("s2")._1 && got("s2")._1 == got("s3")._1)
+    val repart = GraphOps.hits(edges.repartition(7), iterations = 2)
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    assert(repart == got, "quantized sums must make HITS partition-invariant")
+  }
+
   test("updateQuadsQuery: a literal containing the word GRAPH never derails the DATA split; REDUCED works") {
     val q = quads5(("s0", "p:x", "o0", "", ""))
     val got = asSet5(GraphOps.updateQuadsQuery(q,
