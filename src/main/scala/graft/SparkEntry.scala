@@ -783,6 +783,38 @@ object SparkEntry {
         |} ORDER BY ?r ?l""".stripMargin)
   }
 
+  /** SPARQL dateTime accessors — YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS/TZ
+    * over xsd:dateTime literals covering all three timezone shapes (Z,
+    * ±hh:mm, absent) and a fractional second.
+    */
+  def kgDatetimeFns(spark: SparkSession, dir: String): DataFrame = {
+    val xsdDt = "http://www.w3.org/2001/XMLSchema#dateTime"
+    val tsd = GraphOps.updateQuery(kgTriples(spark, dir),
+      s"""INSERT DATA {
+         |  <urn:e:1> <urn:voc:ts> "2024-03-05T10:30:02Z"^^<$xsdDt> .
+         |  <urn:e:2> <urn:voc:ts> "1999-12-31T23:59:59.25+05:30"^^<$xsdDt> .
+         |  <urn:e:3> <urn:voc:ts> "2001-07-04T00:08:01"^^<$xsdDt> }""".stripMargin)
+    GraphOps.select(tsd,
+      """SELECT ?e (YEAR(?t) AS ?y) (MONTH(?t) AS ?mo) (DAY(?t) AS ?d)
+        |  (HOURS(?t) AS ?h) (MINUTES(?t) AS ?mi) (SECONDS(?t) AS ?s) (TZ(?t) AS ?tz)
+        |WHERE { ?e <urn:voc:ts> ?t } ORDER BY ?e""".stripMargin)
+  }
+
+  /** Term constructors + RFC 3986 escaping: `ENCODE_FOR_URI` (space,
+    * `&`, `/` percent-encoded; `~` kept unreserved), `STRDT` minting a
+    * typed literal whose datatype `DATATYPE` then reads back, `STRLANG`
+    * minting a tagged literal `LANG` reads back — the constructed-term
+    * channel flowing through BIND companions end-to-end.
+    */
+  def kgTermConstructors(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """SELECT ?name (ENCODE_FOR_URI(CONCAT(?name, " & co/~x")) AS ?enc)
+        |  ?code (DATATYPE(?code) AS ?cdt) ?lbl (LANG(?lbl) AS ?ltag)
+        |WHERE { ?r <urn:dm:region#r_name> ?name .
+        |  BIND(STRDT(?name, <http://www.w3.org/2001/XMLSchema#token>) AS ?code) .
+        |  BIND(STRLANG(LCASE(?name), "en-US") AS ?lbl) }
+        |ORDER BY ?name""".stripMargin)
+
   /** Aggregates over full value expressions — `(SUM(?rk * ?rk) AS ?ss)`
     * etc., the analytic tail SPARQL 1.1 allows and simple-variable-only
     * grammars reject.
@@ -1416,6 +1448,8 @@ object SparkEntry {
     "kg_clustering" -> (kgClustering(_, _)),
     "kg_kcore" -> (kgKcore(_, _)),
     "kg_hits" -> (kgHits(_, _)),
+    "kg_datetime_fns" -> (kgDatetimeFns(_, _)),
+    "kg_term_constructors" -> (kgTermConstructors(_, _)),
     "kg_nquads_roundtrip" -> (kgNquadsRoundtrip(_, _)),
     "kg_agg_expr" -> (kgAggExpr(_, _)),
     "kg_pagerank" -> (kgPageRank(_, _)),
@@ -1971,6 +2005,30 @@ object SparkEntry {
         |FROM cc GROUP BY degree, coeff_micro ORDER BY degree, coeff_micro""".stripMargin,
     "kg_kcore" -> kcoreOracleSql(k = 8, rounds = 6),
     "kg_hits" -> hitsOracleSql(iterations = 2),
+    // dateTime accessors over fixed literals → expected values verbatim
+    "kg_datetime_fns" ->
+      """SELECT e, y, mo, d, h, mi, s, tz FROM (VALUES
+        |  ('urn:e:1', CAST(2024 AS DOUBLE), CAST(3 AS DOUBLE), CAST(5 AS DOUBLE),
+        |   CAST(10 AS DOUBLE), CAST(30 AS DOUBLE), CAST(2 AS DOUBLE), 'Z'),
+        |  ('urn:e:2', 1999, 12, 31, 23, 59, 59.25, '+05:30'),
+        |  ('urn:e:3', 2001, 7, 4, 0, 8, 1, '')
+        |) AS t(e, y, mo, d, h, mi, s, tz) ORDER BY e""".stripMargin,
+    // ENCODE_FOR_URI / STRDT / STRLANG over the five region names →
+    // expected constructed terms verbatim (space/&//-escaping, ~ kept,
+    // minted datatype and language tag read back by DATATYPE/LANG)
+    "kg_term_constructors" ->
+      """SELECT name, enc, code, cdt, lbl, ltag FROM (VALUES
+        |  ('AFRICA', 'AFRICA%20%26%20co%2F~x', 'AFRICA',
+        |   'http://www.w3.org/2001/XMLSchema#token', 'africa', 'en-US'),
+        |  ('AMERICA', 'AMERICA%20%26%20co%2F~x', 'AMERICA',
+        |   'http://www.w3.org/2001/XMLSchema#token', 'america', 'en-US'),
+        |  ('ASIA', 'ASIA%20%26%20co%2F~x', 'ASIA',
+        |   'http://www.w3.org/2001/XMLSchema#token', 'asia', 'en-US'),
+        |  ('EUROPE', 'EUROPE%20%26%20co%2F~x', 'EUROPE',
+        |   'http://www.w3.org/2001/XMLSchema#token', 'europe', 'en-US'),
+        |  ('MIDDLE EAST', 'MIDDLE%20EAST%20%26%20co%2F~x', 'MIDDLE EAST',
+        |   'http://www.w3.org/2001/XMLSchema#token', 'middle east', 'en-US')
+        |) AS t(name, enc, code, cdt, lbl, ltag) ORDER BY name""".stripMargin,
     "kg_agg_expr" ->
       """SELECT CAST(sum(n_regionkey * n_regionkey) AS DOUBLE) AS ss,
         |  CAST(avg(n_regionkey + 1) AS DOUBLE) AS ar,

@@ -425,6 +425,65 @@ object GraphOps {
       }
     }
   }
+  /** SPARQL dateTime accessors `YEAR` / `MONTH` / `DAY` / `HOURS` /
+    * `MINUTES` / `SECONDS` / `TZ` over an xsd:dateTime LEXICAL form
+    * (`YYYY-MM-DDThh:mm:ss[.fff][Z|±hh:mm]` — the canonical lexical is
+    * positional through the minutes, so fixed-offset substrings are
+    * exact and engine-portable; SECONDS and TZ need the variable tail
+    * and use an anchored regex). Numeric accessors are double-typed
+    * like the rest of this grammar; a malformed lexical yields null
+    * (error-eliminates-row). TZ returns `"Z"`, `"±hh:mm"`, or `""` when
+    * the literal carries no timezone, per fn:timezone-from-dateTime's
+    * SPARQL rendering.
+    */
+  final case class VEDateFn(func: String, e: ValueExpr) extends ValueExpr {
+    def column: Column = {
+      val s = e.column.cast("string")
+      func match {
+        case "YEAR" => substring(s, 1, 4).cast("double")
+        case "MONTH" => substring(s, 6, 2).cast("double")
+        case "DAY" => substring(s, 9, 2).cast("double")
+        case "HOURS" => substring(s, 12, 2).cast("double")
+        case "MINUTES" => substring(s, 15, 2).cast("double")
+        case "SECONDS" =>
+          regexp_extract(s, ":(\\d{2}(?:\\.\\d+)?)(?:Z|[+-]\\d{2}:\\d{2})?$", 1)
+            .cast("double")
+        case "TZ" => regexp_extract(s, "(Z|[+-]\\d{2}:\\d{2})$", 1)
+      }
+    }
+    override def stringTyped: Boolean = func == "TZ"
+  }
+  /** SPARQL `ENCODE_FOR_URI` — percent-encode everything outside RFC
+    * 3986's unreserved set (ALPHA / DIGIT / `-` / `.` / `_` / `~`),
+    * UTF-8 bytes uppercase-hex. Implemented as the codegen'd
+    * `url_encode` (application/x-www-form-urlencoded) with its three
+    * deltas patched: space `+`→`%20`, `~` restored (unreserved), `*`
+    * encoded (`%2A` — reserved in 3986, bare in form-encoding).
+    */
+  final case class VEEncodeUri(e: ValueExpr) extends ValueExpr {
+    def column: Column = {
+      val enc = url_encode(e.column.cast("string"))
+      val sp = regexp_replace(enc, "\\+", "%20")
+      val tilde = regexp_replace(sp, "%7E", "~")
+      regexp_replace(tilde, "\\*", "%2A")
+    }
+    override def stringTyped = true
+  }
+  /** SPARQL `STRDT(lexical, <datatype>)` / `STRLANG(lexical, "tag")` —
+    * construct a typed / language-tagged literal. The value is the
+    * lexical form; the constructed datatype (or `@tag`, this engine's
+    * language-tag channel) rides the variable's `__dt` companion when
+    * the expression is BIND-bound, so `DATATYPE` / `LANG` / `LANGMATCHES`
+    * introspect it like any pattern-bound term.
+    */
+  final case class VEStrDt(e: ValueExpr, dt: String) extends ValueExpr {
+    def column: Column = e.column.cast("string")
+    override def stringTyped = true
+  }
+  final case class VEStrLang(e: ValueExpr, tag: String) extends ValueExpr {
+    def column: Column = e.column.cast("string")
+    override def stringTyped = true
+  }
 
   /** Boolean composition of constraints — Spark's three-valued AND/OR
     * matches SPARQL's: an errored (null) operand drops the row unless the
@@ -826,6 +885,26 @@ object GraphOps {
         case "STRLEN" => next(); expect("("); val e = parseValue(); expect(")"); VEStrLen(e)
         case f @ ("ABS" | "ROUND" | "CEIL" | "FLOOR") =>
           next(); expect("("); val e = parseValue(); expect(")"); VENumFn(f, e)
+        case f @ ("YEAR" | "MONTH" | "DAY" | "HOURS" | "MINUTES" | "SECONDS" | "TZ") =>
+          next(); expect("("); val e = parseValue(); expect(")"); VEDateFn(f, e)
+        case "ENCODE_FOR_URI" =>
+          next(); expect("("); val e = parseValue(); expect(")"); VEEncodeUri(e)
+        case "STRDT" =>
+          next(); expect("(")
+          val e = parseValue(); expect(",")
+          val d = next()
+          require(d.startsWith("<") && d.endsWith(">"),
+            s"STRDT needs an <iri> datatype, got '$d'")
+          expect(")")
+          VEStrDt(e, d.drop(1).dropRight(1))
+        case "STRLANG" =>
+          next(); expect("(")
+          val e = parseValue(); expect(",")
+          val tg = next()
+          require(tg.startsWith("\"") && tg.endsWith("\"") && tg.length > 2,
+            s"STRLANG needs a quoted language tag, got '$tg'")
+          expect(")")
+          VEStrLang(e, tg.drop(1).dropRight(1))
         case f @ ("MD5" | "SHA256") =>
           next(); expect("("); val e = parseValue(); expect(")"); VEHash(f, e)
         case "IRI" | "URI" =>
@@ -1391,8 +1470,7 @@ object GraphOps {
     if (!reduced && distinct) h = h.substring("DISTINCT".length).trim
     if (h.isEmpty || h == "*") (distinct, Seq.empty)
     else {
-      val tokRe = """\((?:[^()]|\([^()]*\))*\)|\S+""".r
-      val projs = tokRe.findAllIn(h).map {
+      val projs = headTokens(h).map {
         case GroupConcatRe(arg, sep, alias) =>
           ProjAgg("GROUP_CONCAT", Some(arg), alias,
             sep = Option(sep).map(s => um(s).drop(1).dropRight(1)))
@@ -1415,6 +1493,38 @@ object GraphOps {
       }.toSeq
       (distinct, projs)
     }
+  }
+
+  /** Split a SELECT head into projection tokens: whitespace-separated
+    * bare terms plus `(...)` groups kept whole at ARBITRARY paren depth
+    * (a regex can't nest unboundedly — `(ENCODE_FOR_URI(CONCAT(?a,
+    * "x")) AS ?e)` is already three deep). The head text is literal-
+    * masked by the caller, so parens inside literals can't unbalance
+    * the scan.
+    */
+  private def headTokens(h: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < h.length) {
+      if (h(i).isWhitespace) i += 1
+      else if (h(i) == '(') {
+        val start = i
+        var depth = 0
+        var done = false
+        while (i < h.length && !done) {
+          if (h(i) == '(') depth += 1
+          else if (h(i) == ')') { depth -= 1; if (depth == 0) done = true }
+          i += 1
+        }
+        require(done, s"unbalanced parens in SELECT head: '$h'")
+        out += h.substring(start, i)
+      } else {
+        val start = i
+        while (i < h.length && !h(i).isWhitespace) i += 1
+        out += h.substring(start, i)
+      }
+    }
+    out.toSeq
   }
 
   /** The simple-argument (`*` / `?var`) aggregate column of a ProjAgg. */
@@ -1847,7 +1957,16 @@ object GraphOps {
     val withBinds = binds.foldLeft(withValues) { (acc, b) =>
       require(!acc.columns.contains(b.alias),
         s"BIND alias ?${b.alias} is already bound in this branch")
-      acc.withColumn(b.alias, b.expr.column)
+      val bound = acc.withColumn(b.alias, b.expr.column)
+      // STRDT/STRLANG construct a term with a datatype / language tag:
+      // publish it on the alias's __dt companion so DATATYPE/LANG/
+      // LANGMATCHES introspect the constructed term like any other
+      // (dropped downstream unless the query tracks datatypes)
+      b.expr match {
+        case VEStrDt(_, dt) => bound.withColumn(b.alias + DtSuffix, lit(dt))
+        case VEStrLang(_, tag) => bound.withColumn(b.alias + DtSuffix, lit("@" + tag))
+        case _ => bound
+      }
     }
     applyFilters(withBinds, filters)
   }

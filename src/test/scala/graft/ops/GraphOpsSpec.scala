@@ -1433,6 +1433,52 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map("1" -> 0L, "2" -> 0L, "3" -> 0L, "4" -> 0L))
   }
 
+  test("dateTime accessors: YEAR..SECONDS numeric, TZ covers Z/offset/absent") {
+    val kg = quads(
+      ("e1", "p:ts", "2024-03-05T10:30:02Z", "http://www.w3.org/2001/XMLSchema#dateTime"),
+      ("e2", "p:ts", "1999-12-31T23:59:59.25+05:30", "http://www.w3.org/2001/XMLSchema#dateTime"),
+      ("e3", "p:ts", "2001-07-04T00:08:01", "http://www.w3.org/2001/XMLSchema#dateTime"))
+    val got = GraphOps.select(kg,
+      """SELECT ?e (YEAR(?t) AS ?y) (MONTH(?t) AS ?mo) (DAY(?t) AS ?d)
+        |  (HOURS(?t) AS ?h) (MINUTES(?t) AS ?mi) (SECONDS(?t) AS ?s) (TZ(?t) AS ?tz)
+        |WHERE { ?e <p:ts> ?t } ORDER BY ?e""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getString(7))).toSeq
+    assert(got == Seq(
+      ("e1", 2024.0, 3.0, 5.0, 10.0, 30.0, 2.0, "Z"),
+      ("e2", 1999.0, 12.0, 31.0, 23.0, 59.0, 59.25, "+05:30"),
+      ("e3", 2001.0, 7.0, 4.0, 0.0, 8.0, 1.0, "")))
+    // SECONDS inside a FILTER: fractional comparison excludes e1/e3
+    val f = GraphOps.select(kg,
+      "SELECT ?e WHERE { ?e <p:ts> ?t . FILTER(SECONDS(?t) > 59) }")
+      .collect().map(_.getString(0)).toSeq
+    assert(f == Seq("e2"))
+  }
+
+  test("ENCODE_FOR_URI: RFC 3986 unreserved kept, space %20, reserved percent-encoded") {
+    val kg = quads(("s", "p:v", "A b&c/d~e.f-g_h*i", XsdString))
+    val got = GraphOps.select(kg,
+      "SELECT (ENCODE_FOR_URI(?v) AS ?e) WHERE { ?s <p:v> ?v }")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("A%20b%26c%2Fd~e.f-g_h%2Ai"))
+  }
+
+  test("STRDT / STRLANG: constructed terms introspect via DATATYPE and LANG") {
+    val kg = quads(("s", "p:v", "42", XsdString))
+    val got = GraphOps.select(kg,
+      """SELECT ?t (DATATYPE(?t) AS ?tdt) ?l (LANG(?l) AS ?ltag) WHERE {
+        |  ?s <p:v> ?v .
+        |  BIND(STRDT(?v, <http://www.w3.org/2001/XMLSchema#integer>) AS ?t) .
+        |  BIND(STRLANG(CONCAT(?v, "!"), "fr-CA") AS ?l) }""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSeq
+    assert(got == Seq(("42", XsdInteger, "42!", "fr-CA")))
+    // LANGMATCHES sees the constructed tag
+    val m = GraphOps.select(kg,
+      """SELECT ?l WHERE { ?s <p:v> ?v . BIND(STRLANG(?v, "fr-CA") AS ?l) .
+        |  FILTER(LANGMATCHES(LANG(?l), "fr")) }""".stripMargin).count()
+    assert(m == 1)
+  }
+
   test("clusteringCoefficient: K4 corner = 1.0, pendant = 0, open wedge center = 0") {
     val sp = spark; import sp.implicits._
     // K4 {a,b,c,d}: every node deg 3, 3 triangles → coeff 2*3/(3*2) = 1.
