@@ -815,6 +815,42 @@ object SparkEntry {
         |  BIND(STRLANG(LCASE(?name), "en-US") AS ?lbl) }
         |ORDER BY ?name""".stripMargin)
 
+  /** `DESCRIBE ?v WHERE { … }` through the dispatching `query()` entry:
+    * the region-0 nations' full neighborhoods — own triples plus
+    * incoming IRI edges (customer/supplier refs), literal lookalikes
+    * excluded — profiled per predicate.
+    */
+  def kgDescribeWhere(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.query(kgTriples(spark, dir),
+      "DESCRIBE ?n WHERE { ?n <urn:dm:nation#ref-n_regionkey> <urn:dm:region/0> }")
+      .groupBy(col("pred"))
+      .agg(count(lit(1)).as("n_triples"), min(col("subj")).as("min_subj"),
+        max(col("obj")).as("max_obj"))
+      .orderBy("pred")
+
+  /** Multi-variable `VALUES (?n ?r) { (…) … }` — an inline solution
+    * RELATION joined row-wise (the (nation/1, region/0) row matches no
+    * solution: pair semantics, not per-column restriction).
+    */
+  def kgValuesMulti(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """SELECT ?r (COUNT(*) AS ?n_cust) WHERE {
+        |  ?c <urn:dm:customer#ref-c_nationkey> ?n .
+        |  ?n <urn:dm:nation#ref-n_regionkey> ?r .
+        |  VALUES (?n ?r) { (<urn:dm:nation/1> <urn:dm:region/1>)
+        |    (<urn:dm:nation/2> <urn:dm:region/1>)
+        |    (<urn:dm:nation/3> <urn:dm:region/1>)
+        |    (<urn:dm:nation/1> <urn:dm:region/0>) }
+        |} GROUP BY ?r ORDER BY ?r""".stripMargin)
+
+  /** TF-IDF top-3 terms per document ([[TextOps.tfIdf]]) — tokenize →
+    * per-(doc, token) counts → document frequencies → rational
+    * micro-unit scores → per-doc top-k window, all value-gated.
+    */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tfIdf(t(spark, dir, "documents"), col("doc_id"), col("text"), topK = 3)
+      .orderBy("doc_id", "rank")
+
   /** Aggregates over full value expressions — `(SUM(?rk * ?rk) AS ?ss)`
     * etc., the analytic tail SPARQL 1.1 allows and simple-variable-only
     * grammars reject.
@@ -1450,6 +1486,9 @@ object SparkEntry {
     "kg_hits" -> (kgHits(_, _)),
     "kg_datetime_fns" -> (kgDatetimeFns(_, _)),
     "kg_term_constructors" -> (kgTermConstructors(_, _)),
+    "kg_describe_where" -> (kgDescribeWhere(_, _)),
+    "kg_values_multi" -> (kgValuesMulti(_, _)),
+    "text_tfidf" -> (textTfidf(_, _)),
     "kg_nquads_roundtrip" -> (kgNquadsRoundtrip(_, _)),
     "kg_agg_expr" -> (kgAggExpr(_, _)),
     "kg_pagerank" -> (kgPageRank(_, _)),
@@ -2013,6 +2052,46 @@ object SparkEntry {
         |  ('urn:e:2', 1999, 12, 31, 23, 59, 59.25, '+05:30'),
         |  ('urn:e:3', 2001, 7, 4, 0, 8, 1, '')
         |) AS t(e, y, mo, d, h, mi, s, tz) ORDER BY e""".stripMargin,
+    // DESCRIBE ?v WHERE — the described set replayed declaratively
+    "kg_describe_where" ->
+      s"""WITH $kgQuadsCte,
+         |nodes AS (SELECT subj AS node FROM kg
+         |  WHERE pred = 'urn:dm:nation#ref-n_regionkey' AND obj = 'urn:dm:region/0'),
+         |d AS (SELECT DISTINCT * FROM (
+         |  SELECT * FROM kg WHERE subj IN (SELECT node FROM nodes)
+         |  UNION ALL
+         |  SELECT * FROM kg WHERE dt = '' AND obj IN (SELECT node FROM nodes)))
+         |SELECT pred, count(*) AS n_triples, min(subj) AS min_subj,
+         |  max(obj) AS max_obj
+         |FROM d GROUP BY pred ORDER BY pred""".stripMargin,
+    // multi-variable VALUES: row-value IN list, pair semantics
+    "kg_values_multi" ->
+      """SELECT 'urn:dm:region/'||n_regionkey AS r, count(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE ('urn:dm:nation/'||n_nationkey, 'urn:dm:region/'||n_regionkey) IN (
+        |  ('urn:dm:nation/1', 'urn:dm:region/1'),
+        |  ('urn:dm:nation/2', 'urn:dm:region/1'),
+        |  ('urn:dm:nation/3', 'urn:dm:region/1'),
+        |  ('urn:dm:nation/1', 'urn:dm:region/0'))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // TF-IDF: identical tokenize→tf→df→score→top-k pipeline in SQL
+    "text_tfidf" ->
+      """WITH docs AS MATERIALIZED (SELECT doc_id, lower(text) AS t FROM documents),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+        |toks AS (SELECT doc_id, unnest(regexp_split_to_array(t, '[^a-z]+')) AS token
+        |  FROM docs),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks WHERE token <> '' GROUP BY doc_id, token),
+        |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+        |sc AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+        |    CAST(floor(CAST(tf.tf * 1000000 * (SELECT n FROM nn) AS DOUBLE) / dfq.df)
+        |      AS BIGINT) AS score_micro
+        |  FROM tf JOIN dfq USING (token)),
+        |rk AS (SELECT sc.*, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score_micro DESC, token) AS BIGINT) AS rank
+        |  FROM sc)
+        |SELECT doc_id, token, tf, df, score_micro, rank FROM rk
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     // ENCODE_FOR_URI / STRDT / STRLANG over the five region names →
     // expected constructed terms verbatim (space/&//-escaping, ~ kept,
     // minted datatype and language tag read back by DATATYPE/LANG)

@@ -1110,6 +1110,7 @@ object GraphOps {
     ("""(?i)GRAPH\s+(\?\w+|<[^>]+>|"[^"]*"|""" + 2.toChar + """\d+""" + 2.toChar +
       """)\s*\{([^{}]*)\}""").r
   private val ValuesRe = """(?i)VALUES\s+\?(\w+)\s*\{([^{}]*)\}""".r
+  private val ValuesMultiRe = """(?i)VALUES\s*\(((?:\s*\?\w+)+)\s*\)\s*\{([^{}]*)\}""".r
 
   /** SPARQL VALUES (single-variable form): restrict a variable to an
     * inline constant list — compiled as an inner join against a local
@@ -1125,6 +1126,29 @@ object GraphOps {
     val spark = bindings.sparkSession
     import spark.implicits._
     bindings.join(broadcast(values.toDF(variable).distinct()), Seq(variable))
+  }
+
+  /** SPARQL VALUES (multi-variable form): `VALUES (?a ?b) { (<x> "1")
+    * (<y> "2") }` — an inline solution RELATION inner-joined onto the
+    * bindings across all its variables (broadcast: inline data is
+    * driver-literal by construction). Every variable must be bound by
+    * the pattern block; every row must carry the full arity (UNDEF is
+    * not supported — rejected loudly, not silently null-joined).
+    */
+  def bgpValuesMulti(bindings: DataFrame, vars: Seq[String],
+                     rows: Seq[Seq[String]]): DataFrame = {
+    require(vars.nonEmpty, "VALUES needs at least one variable")
+    vars.foreach(v => require(bindings.columns.contains(v),
+      s"VALUES variable ?$v is not bound by the pattern block"))
+    require(rows.nonEmpty, s"empty VALUES list for (${vars.map("?" + _).mkString(" ")})")
+    rows.foreach(r => require(r.size == vars.size,
+      s"VALUES row arity ${r.size} != variable arity ${vars.size}"))
+    val spark = bindings.sparkSession
+    val schema = StructType(vars.map(v => StructField(v, StringType)))
+    val rel = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r =>
+        org.apache.spark.sql.Row(r: _*)): _*), schema).distinct()
+    bindings.join(broadcast(rel), vars)
   }
 
   /** Compile a SPARQL-SHAPED query text in one call — the composed form
@@ -1288,8 +1312,21 @@ object GraphOps {
   def describeQuery(quads: DataFrame, text0: String): DataFrame =
     expandPrefixes(text0).trim match {
       case DescribeHeadRe(iri) => describe(quads, iri)
+      case DescribeVarHeadRe(v, body) =>
+        // DESCRIBE ?v WHERE { … }: the body runs through the full
+        // select() surface; every distinct binding of ?v is described.
+        // Both description legs are semi-joins keyed on the node IRI —
+        // the matched-node set is usually tiny relative to the graph,
+        // so Catalyst broadcasts it and the graph is never shuffled.
+        val nodes = select(quads, s"SELECT ?$v WHERE { $body }").distinct()
+        quads.join(nodes.select(col(v).as("subj")), Seq("subj"), "left_semi")
+          .unionByName(
+            quads.filter(col("dt") === "")
+              .join(nodes.select(col(v).as("obj")), Seq("obj"), "left_semi")
+              .select(quads.columns.map(col).toSeq: _*))
+          .distinct()
       case _ => throw new IllegalArgumentException(
-        s"describeQuery expects 'DESCRIBE <iri>', got '$text0'")
+        s"describeQuery expects 'DESCRIBE <iri>' or 'DESCRIBE ?v WHERE { … }', got '$text0'")
     }
 
   /** One entry point for every query form — dispatches on the leading
@@ -1304,7 +1341,8 @@ object GraphOps {
     val (masked, _) = maskLiterals(text)
     if (ConstructHeadRe.pattern.matcher(masked).matches()) constructQuery(quads, text)
     else if (AskHeadRe.pattern.matcher(masked).matches()) askQuery(quads, text)
-    else if (DescribeHeadRe.pattern.matcher(text.trim).matches()) describeQuery(quads, text)
+    else if (DescribeHeadRe.pattern.matcher(text.trim).matches() ||
+             DescribeVarHeadRe.pattern.matcher(text.trim).matches()) describeQuery(quads, text)
     else if (UpdateFormRe.findFirstIn(masked).isDefined)
       // update forms return the UPDATED table: the 5-column named-graph
       // surface when the input carries a graph column, else the plain one
@@ -1380,6 +1418,7 @@ object GraphOps {
   private val WhereTailRe = """(?is)^\s*WHERE\b(.*)$""".r
   private val AskHeadRe = """(?is)^\s*ASK\b(.*)$""".r
   private val DescribeHeadRe = """(?is)^\s*DESCRIBE\s+<([^<>\s]*)>\s*$""".r
+  private val DescribeVarHeadRe = """(?is)^\s*DESCRIBE\s+\?(\w+)\s+WHERE\s*\{(.*)\}\s*$""".r
 
   /** The pattern surface below the optional SELECT head: compile the
     * UNION branches (each branch bridges its own `<p>+`/`<p>*` closure
@@ -1865,16 +1904,30 @@ object GraphOps {
     val gex = ExistsRe.replaceAllIn(gne, " ")
     val optionals = OptionalRe.findAllMatchIn(gex).map(m => um(m.group(1))).toSeq
     val gv = OptionalRe.replaceAllIn(gex, " ")
-    val valuesBlocks = ValuesRe.findAllMatchIn(gv).map { m =>
-      val vals = """"[^"]*"|\S+""".r.findAllIn(um(m.group(2))).toSeq.map {
-        case t if t.startsWith("<") || t.startsWith("\"") =>
-          parseTerm(t) match { case Const(v) => v; case other =>
-            throw new IllegalArgumentException(s"VALUES entries must be constants, got $other") }
-        case t => throw new IllegalArgumentException(s"unrecognized VALUES entry '$t'")
-      }
+    def valuesConst(t: String): String =
+      if (t.startsWith("<") || t.startsWith("\""))
+        parseTerm(t) match {
+          case Const(v) => v
+          case other => throw new IllegalArgumentException(
+            s"VALUES entries must be constants, got $other")
+        }
+      else throw new IllegalArgumentException(s"unrecognized VALUES entry '$t'")
+    // multi-variable form first: its `VALUES (?a ?b) { … }` head would
+    // otherwise never match the single-var regex, but extract-and-blank
+    // ordering keeps the two scans independent either way
+    val valuesMultiBlocks = ValuesMultiRe.findAllMatchIn(gv).map { m =>
+      val vars = """\?(\w+)""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+      val rows = """\(([^()]*)\)""".r.findAllMatchIn(um(m.group(2))).map { rm =>
+        """"[^"]*"|\S+""".r.findAllIn(rm.group(1)).toSeq.map(valuesConst)
+      }.toSeq
+      (vars, rows)
+    }.toSeq
+    val gvm = ValuesMultiRe.replaceAllIn(gv, " ")
+    val valuesBlocks = ValuesRe.findAllMatchIn(gvm).map { m =>
+      val vals = """"[^"]*"|\S+""".r.findAllIn(um(m.group(2))).toSeq.map(valuesConst)
       (m.group(1), vals)
     }.toSeq
-    val g0 = ValuesRe.replaceAllIn(gv, " ")
+    val g0 = ValuesRe.replaceAllIn(gvm, " ")
     val minusGroups = MinusRe.findAllMatchIn(g0).map(m => um(m.group(1))).toSeq
     val g1 = MinusRe.replaceAllIn(g0, " ")
     val graphBlocks = GraphBlockRe.findAllMatchIn(g1)
@@ -1951,8 +2004,11 @@ object GraphOps {
         s"FILTER NOT EXISTS group '$nb' shares no variable with its branch")
       acc.join(n, shared, "left_anti")
     }
-    val withValues = valuesBlocks.foldLeft(withNotExists) { case (acc, (v, vals)) =>
+    val withValues1 = valuesBlocks.foldLeft(withNotExists) { case (acc, (v, vals)) =>
       bgpValues(acc, v, vals)
+    }
+    val withValues = valuesMultiBlocks.foldLeft(withValues1) { case (acc, (vs, rows)) =>
+      bgpValuesMulti(acc, vs, rows)
     }
     val withBinds = binds.foldLeft(withValues) { (acc, b) =>
       require(!acc.columns.contains(b.alias),

@@ -87,6 +87,48 @@ object TextOps {
     aggregate(words(text), lit(0L),
       (acc, w) => PortableHash.h60(concat(acc.cast("string"), lit("|"), w)))
 
+  /** TF-IDF term relevance, top-k terms per document. Classic two-pass
+    * shape: tokenize → explode → per-(doc, token) counts (one shuffle on
+    * the composite key) → per-token document frequencies (one shuffle on
+    * the token — partial aggregation makes the map side absorb the
+    * heavy-hitter tokens, so stopword skew never concentrates on one
+    * reducer) → broadcast-join the tiny df table back → per-doc top-k
+    * window. The corpus size N rides a 1-row cross-joined frame (no
+    * driver action).
+    *
+    * The idf factor is the RATIONAL surrogate `N / df` in integer
+    * micro-units (`floor(tf · 10⁶ · N / df)` — BIGINT-exact in any
+    * engine), not `ln(N/df)`: natural-log implementations differ in the
+    * last ulp across engines/libm versions, which would make a
+    * value-level cross-engine gate flaky at floor boundaries. The
+    * ranking is order-isomorphic for fixed tf (ln is monotone), and a
+    * deployment wanting literature-standard scores swaps one expression.
+    * Ties break on the token for full determinism.
+    *
+    * Output: (doc_id, token, tf, df, score_micro, rank ≤ topK).
+    */
+  def tfIdf(docs: DataFrame, id: Column, text: Column, topK: Int = 3): DataFrame = {
+    val toks = docs.select(id.as("doc_id"),
+        explode(split(lower(text), "[^a-z]+")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, Seq("token"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        floor((col("tf") * lit(1000000L) * col("n")).cast("double") / col("df"))
+          .cast("long").as("score_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("token"))
+    scored.select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("score_micro"),
+        row_number().over(w).cast("long").as("rank"))
+      .filter(col("rank") <= topK)
+  }
+
   /** Word n-gram shingles as space-joined strings (n ≥ 1).
     *
     * PERF: when `w` is an inline expression (e.g. `words(text)`), Catalyst

@@ -1433,6 +1433,40 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map("1" -> 0L, "2" -> 0L, "3" -> 0L, "4" -> 0L))
   }
 
+  test("DESCRIBE ?v WHERE: every matched node described, both edge directions, literal lookalikes untouched") {
+    val kg = quads(
+      ("n:1", "p:in", "r:0", ""), ("n:2", "p:in", "r:0", ""),
+      ("n:3", "p:in", "r:1", ""),
+      ("n:1", "p:name", "one", XsdString),
+      ("c:9", "p:ref", "n:1", ""),          // incoming IRI edge → described
+      ("c:8", "p:note", "n:1", XsdString))  // literal that LOOKS like n:1 → not an edge
+    val got = asSet(GraphOps.query(kg,
+      "DESCRIBE ?n WHERE { ?n <p:in> <r:0> }"))
+    assert(got == Set(
+      ("n:1", "p:in", "r:0", ""), ("n:2", "p:in", "r:0", ""),
+      ("n:1", "p:name", "one", XsdString),
+      ("c:9", "p:ref", "n:1", "")))
+  }
+
+  test("VALUES multi-variable: row-wise restriction, arity and boundness checked") {
+    val kg = quads(
+      ("c:1", "p:in", "n:1", ""), ("c:2", "p:in", "n:2", ""),
+      ("n:1", "p:reg", "r:0", ""), ("n:2", "p:reg", "r:1", ""))
+    val got = GraphOps.select(kg,
+      """SELECT ?c ?r WHERE { ?c <p:in> ?n . ?n <p:reg> ?r .
+        |  VALUES (?n ?r) { (<n:1> <r:0>) (<n:2> <r:9>) } }""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // (n:2, r:9) matches no solution — VALUES is row-wise, not per-column
+    assert(got == Seq(("c:1", "r:0")))
+    val err = intercept[IllegalArgumentException](GraphOps.select(kg,
+      "SELECT ?c WHERE { ?c <p:in> ?n . VALUES (?n ?r) { (<n:1> <r:0>) } }"))
+    assert(err.getMessage.contains("not bound"))
+    val arity = intercept[IllegalArgumentException](GraphOps.select(kg,
+      """SELECT ?c WHERE { ?c <p:in> ?n . ?n <p:reg> ?r .
+        |  VALUES (?n ?r) { (<n:1>) } }""".stripMargin))
+    assert(arity.getMessage.contains("arity"))
+  }
+
   test("dateTime accessors: YEAR..SECONDS numeric, TZ covers Z/offset/absent") {
     val kg = quads(
       ("e1", "p:ts", "2024-03-05T10:30:02Z", "http://www.w3.org/2001/XMLSchema#dateTime"),

@@ -49,6 +49,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L) == 0L, "empty doc fingerprint must be the fold seed")
   }
 
+  test("tfIdf: rare terms outrank stopwords, rank caps at topK, ties break on token") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the log"),
+      (3L, "the the the zebra")).toDF("doc_id", "text")
+    val got = TextOps.tfIdf(docs, col("doc_id"), col("text"), topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(5)) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 3: "the" tf=3 df=3 → 3*1e6*3/3 = 3e6; "zebra" tf=1 df=1 → 3e6 —
+    // tie breaks lexically: "the" then "zebra"
+    assert(got((3L, 1L)) == (("the", 3L, 3L, 3000000L)))
+    assert(got((3L, 2L)) == (("zebra", 1L, 1L, 3000000L)))
+    // doc 1: "cat"/"mat" tf=1 df=1 → 3e6 beat "the" tf=2 df=3 → 2e6
+    assert(got((1L, 1L))._1 == "cat" && got((1L, 2L))._1 == "mat")
+    // rank never exceeds topK
+    assert(got.keys.forall(_._2 <= 2L))
+    // partition-invariance: same result from a different layout
+    val re = TextOps.tfIdf(docs.repartition(7), col("doc_id"), col("text"), topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(5)) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(re == got)
+  }
+
   test("simhash60: identical texts agree; near texts are hamming-close; bits fit in 60") {
     val sp = spark; import sp.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
