@@ -851,6 +851,31 @@ object SparkEntry {
     TextOps.tfIdf(t(spark, dir, "documents"), col("doc_id"), col("text"), topK = 3)
       .orderBy("doc_id", "rank")
 
+  /** Okapi BM25 ([[TextOps.bm25]]) against a fixed 3-term query over
+    * the document corpus — per-doc micro-unit scores and hit counts,
+    * value-gated against the identical expression tree in SQL.
+    */
+  def textBm25(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bm25(t(spark, dir, "documents"), col("doc_id"), col("text"),
+        Seq("spark", "join", "vector"))
+      .orderBy("doc_id")
+
+  /** Symmetric int8 embedding quantization
+    * ([[SimilarityOps.quantizeInt8]]): per-vector scale + the quantized
+    * vector profiled as (sum, min, max, saturation count) — any rounding
+    * or clamping divergence shifts a value.
+    */
+  def annQuantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.quantizeInt8(t(spark, dir, "embeddings"),
+        col("vec_id"), col("embedding"))
+      .select(col("vec_id"),
+        floor(col("scale") * lit(1e6)).cast("long").as("scale_micro"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        size(filter(col("q"), x => abs(x) === 127)).cast("long").as("n_sat"))
+      .orderBy("vec_id")
+
   /** Aggregates over full value expressions — `(SUM(?rk * ?rk) AS ?ss)`
     * etc., the analytic tail SPARQL 1.1 allows and simple-variable-only
     * grammars reject.
@@ -1489,6 +1514,8 @@ object SparkEntry {
     "kg_describe_where" -> (kgDescribeWhere(_, _)),
     "kg_values_multi" -> (kgValuesMulti(_, _)),
     "text_tfidf" -> (textTfidf(_, _)),
+    "text_bm25" -> (textBm25(_, _)),
+    "ann_quantize_int8" -> (annQuantizeInt8(_, _)),
     "kg_nquads_roundtrip" -> (kgNquadsRoundtrip(_, _)),
     "kg_agg_expr" -> (kgAggExpr(_, _)),
     "kg_pagerank" -> (kgPageRank(_, _)),
@@ -1633,6 +1660,34 @@ object SparkEntry {
     * (`r$i`) — the same ops in the same order as the Spark loop, so the
     * doubles agree bitwise before the final display rounding.
     */
+  /** BM25 replayed with the engine's exact expression tree — the double
+    * literals are interpolated from the SAME Scala constants the engine
+    * uses, so `k1 + 1` etc. can't drift by a formatting round-trip.
+    */
+  private def bm25OracleSql(terms: Seq[String], k1: Double, b: Double): String = {
+    val termList = terms.map(t => s"'${t.toLowerCase}'").mkString(", ")
+    s"""WITH docs AS MATERIALIZED (SELECT doc_id, lower(text) AS t FROM documents),
+       |base AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(t, '[^a-z]+'), x -> x <> '') AS w FROM docs),
+       |dls AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM base),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dls),
+       |toks AS (SELECT doc_id, dl, unnest(w) AS token FROM dls),
+       |tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+       |  FROM toks WHERE token IN ($termList) GROUP BY doc_id, dl, token),
+       |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+       |sc AS (SELECT tf.doc_id,
+       |    CAST(floor(1e6 * (CAST((SELECT n FROM stats) AS DOUBLE) / dfq.df) *
+       |      (tf.tf * ${k1 + 1}) /
+       |      (CAST(tf.tf AS DOUBLE) + $k1 * (${1 - b} +
+       |        $b * CAST(tf.dl AS DOUBLE) / (SELECT avgdl FROM stats)))) AS BIGINT)
+       |      AS term_score
+       |  FROM tf JOIN dfq USING (token))
+       |SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score_micro,
+       |  count(*) AS n_hits
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** k-core peel replayed as unrolled rounds (the fixpoint is unique, so
     * rounds past convergence are no-ops — `rounds` must exceed the
     * measured peel depth, 3 at both test SFs).
@@ -2092,6 +2147,24 @@ object SparkEntry {
         |  FROM sc)
         |SELECT doc_id, token, tf, df, score_micro, rank FROM rk
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "text_bm25" -> bm25OracleSql(Seq("spark", "join", "vector"), k1 = 1.2, b = 0.75),
+    // int8 quantization: identical scale/round/clamp expression tree
+    "ann_quantize_int8" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+        |s AS (SELECT vec_id, v,
+        |  CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale FROM m),
+        |qt AS (SELECT vec_id, scale, list_transform(v, x ->
+        |  greatest(-127, least(127, CAST(floor(x * scale + 0.5) AS BIGINT)))) AS q
+        |  FROM s)
+        |SELECT vec_id, CAST(floor(scale * 1e6) AS BIGINT) AS scale_micro,
+        |  CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+        |  CAST(list_aggregate(q, 'min') AS BIGINT) AS q_min,
+        |  CAST(list_aggregate(q, 'max') AS BIGINT) AS q_max,
+        |  CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+        |FROM qt ORDER BY vec_id""".stripMargin,
     // ENCODE_FOR_URI / STRDT / STRLANG over the five region names →
     // expected constructed terms verbatim (space/&//-escaping, ~ kept,
     // minted datatype and language tag read back by DATATYPE/LANG)

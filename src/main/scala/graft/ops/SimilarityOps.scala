@@ -33,6 +33,30 @@ object SimilarityOps {
     dot / (na * lit(nb))
   }
 
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * 4× storage/bandwidth cut for ANN at corpus scale (a 100 TB float32
+    * embedding store becomes 25 TB; cell-probe scans stream 4× more
+    * vectors per byte). Per-vector scale `127 / max|x_i|`, elements
+    * `clamp(floor(x·scale + 0.5), −127, 127)` — half-up rounding in
+    * double precision, deterministic and engine-replayable (float32
+    * widens to double exactly, so both engines see identical inputs).
+    * The all-zero vector keeps scale 0 and quantizes to zeros. One
+    * narrow codegen'd projection: no shuffle, no UDF.
+    *
+    * Output: (vec_id, scale — the dequantizer is `q_i / scale`, q —
+    * Array[Long] in [−127, 127]).
+    */
+  def quantizeInt8(vectors: DataFrame, id: Column, emb: Column): DataFrame =
+    vectors.select(id.as("vec_id"),
+        transform(emb, x => x.cast("double")).as("v"))
+      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("scale",
+        when(col("maxabs") > 0, lit(127.0) / col("maxabs")).otherwise(lit(0.0)))
+      .select(col("vec_id"), col("scale"),
+        transform(col("v"), x =>
+          greatest(lit(-127L), least(lit(127L),
+            floor(x * col("scale") + lit(0.5)).cast("long")))).as("q"))
+
   def bruteForceTopK(vectors: DataFrame, emb: Column, id: Column,
                      query: Seq[Double], k: Int): DataFrame =
     vectors.select(id.as("vec_id"), round(cosineToQuery(emb, query), 4).as("cosine"))

@@ -129,6 +129,54 @@ object TextOps {
       .filter(col("rank") <= topK)
   }
 
+  /** Okapi BM25 relevance of every document against a fixed query-term
+    * set — the ranking function behind most retrieval-based curation
+    * filters. Same two-shuffle shape as [[tfIdf]] (tf on the composite
+    * key, df on the token), plus one broadcast of the per-corpus
+    * aggregates (N, avgdl as a 1-row frame — no driver action). Scores
+    * are BIGINT micro-units computed from integer-exact doubles:
+    * `floor(1e6 · (N/df) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)))` with
+    * k1 = 1.2, b = 0.75 — the idf factor is the same rational `N/df`
+    * surrogate as [[tfIdf]] (ln's last-ulp engine variance would make a
+    * bit-level gate flaky; the ranking is order-isomorphic per token,
+    * and deployments wanting textbook idf swap one expression). Only
+    * documents containing ≥ 1 query term appear (the tf table is
+    * filtered to the query tokens BEFORE the df shuffle — at corpus
+    * scale the pushed-down IN prunes the token explosion to the query
+    * vocabulary).
+    *
+    * Output: (doc_id, score_micro, n_hits) — n_hits = distinct query
+    * terms present.
+    */
+  def bm25(docs: DataFrame, id: Column, text: Column, queryTerms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val terms = queryTerms.map(_.toLowerCase)
+    val base = docs.select(id.as("doc_id"), split(lower(text), "[^a-z]+").as("w"))
+      .select(col("doc_id"),
+        size(filter(col("w"), _ =!= "")).cast("long").as("dl"), col("w"))
+    val stats = base.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val toks = base.select(col("doc_id"), col("dl"),
+        explode(col("w")).as("token"))
+      .filter(col("token").isin(terms: _*))
+    val tf = toks.groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(lit(1e6) * (col("n").cast("double") / col("df")) *
+            (col("tf") * (k1 + 1)).cast("double") /
+            (col("tf").cast("double") +
+              lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+          .cast("long").as("term_score"),
+        col("token"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score")).as("score_micro"),
+        count(lit(1)).as("n_hits"))
+  }
+
   /** Word n-gram shingles as space-joined strings (n ≥ 1).
     *
     * PERF: when `w` is an inline expression (e.g. `words(text)`), Catalyst

@@ -73,6 +73,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(re == got)
   }
 
+  test("bm25: shorter doc outranks longer at equal tf; absent terms drop docs; n_hits counts distinct terms") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "spark join"),                       // both terms, short
+      (2L, "spark join filler filler filler"),  // both terms, longer → lower
+      (3L, "filler only text here")).toDF("doc_id", "text")
+    val got = TextOps.bm25(docs, col("doc_id"), col("text"), Seq("spark", "join"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!got.contains(3L), "doc without any query term must not appear")
+    assert(got(1L)._2 == 2L && got(2L)._2 == 2L)
+    assert(got(1L)._1 > got(2L)._1, "length normalization must favor the shorter doc")
+    // partition-invariance of the quantized scores
+    val re = TextOps.bm25(docs.repartition(5), col("doc_id"), col("text"),
+        Seq("spark", "join"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(re == got)
+  }
+
+  test("quantizeInt8: max element saturates to ±127, zeros stay zero, dequant error bounded") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = SimilarityOps.quantizeInt8(df, col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getSeq[Long](2)))).toMap
+    val (s1, q1) = got(1L)
+    assert(s1 == 127.0, "scale is 127 / max|x|")
+    assert(q1 == Seq(64L, -127L, 32L, 0L))  // 0.5*127+0.5=64.0 → 64; -127+0.5 → -127
+    val (s2, q2) = got(2L)
+    assert(s2 == 0.0 && q2 == Seq(0L, 0L, 0L, 0L), "zero vector stays zero")
+    // dequantization error ≤ half a quantization step
+    q1.zip(Seq(0.5, -1.0, 0.25, 0.0)).foreach { case (q, x) =>
+      assert(math.abs(q / s1 - x) <= 0.5 / s1 + 1e-12)
+    }
+  }
+
   test("simhash60: identical texts agree; near texts are hamming-close; bits fit in 60") {
     val sp = spark; import sp.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
