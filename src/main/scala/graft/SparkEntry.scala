@@ -876,6 +876,40 @@ object SparkEntry {
         size(filter(col("q"), x => abs(x) === 127)).cast("long").as("n_sat"))
       .orderBy("vec_id")
 
+  /** URL canonicalization ([[TextOps.canonicalizeUrl]]) over URLs minted
+    * deterministically from doc ids with case noise (HTTPS/WWW variants),
+    * tracking params, unsorted param order, and fragments — the oracle
+    * DERIVES the expected canonical form independently (straight string
+    * construction, no regex mirror), so a canonicalization bug can't
+    * cancel out.
+    */
+  def urlCanonicalize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"))
+    val s = (c: org.apache.spark.sql.Column) => c.cast("string")
+    val url = concat(
+      when(col("doc_id") % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+      lit("://"),
+      when(col("doc_id") % 3 === 0, lit("WWW.Example.COM"))
+        .otherwise(lit("www.example.com")),
+      lit("/Page/"), s(col("doc_id") % 100),
+      lit("?utm_source=feed&b="), s(col("doc_id") % 5),
+      lit("&a="), s(col("doc_id") % 7),
+      lit("#sec"), s(col("doc_id")))
+    docs.select(col("doc_id"), TextOps.canonicalizeUrl(url).as("canon"))
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("canon")
+  }
+
+  /** Gopher-rule quality gate ([[TextOps.gopherQuality]]): word-count /
+    * mean-word-length / symbol-ratio / top-word-repetition heuristics in
+    * integer micro-units, plus the boolean verdict.
+    */
+  def textGopherQuality(spark: SparkSession, dir: String): DataFrame =
+    TextOps.gopherQuality(t(spark, dir, "documents"), col("doc_id"), col("text"))
+      .orderBy("doc_id")
+
   /** Aggregates over full value expressions — `(SUM(?rk * ?rk) AS ?ss)`
     * etc., the analytic tail SPARQL 1.1 allows and simple-variable-only
     * grammars reject.
@@ -1516,6 +1550,8 @@ object SparkEntry {
     "text_tfidf" -> (textTfidf(_, _)),
     "text_bm25" -> (textBm25(_, _)),
     "ann_quantize_int8" -> (annQuantizeInt8(_, _)),
+    "url_canonicalize" -> (urlCanonicalize(_, _)),
+    "text_gopher_quality" -> (textGopherQuality(_, _)),
     "kg_nquads_roundtrip" -> (kgNquadsRoundtrip(_, _)),
     "kg_agg_expr" -> (kgAggExpr(_, _)),
     "kg_pagerank" -> (kgPageRank(_, _)),
@@ -2148,6 +2184,47 @@ object SparkEntry {
         |SELECT doc_id, token, tf, df, score_micro, rank FROM rk
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "text_bm25" -> bm25OracleSql(Seq("spark", "join", "vector"), k1 = 1.2, b = 0.75),
+    // URL canonicalization: the oracle CONSTRUCTS the expected canonical
+    // form directly from doc_id — independent derivation, not a regex echo
+    "url_canonicalize" ->
+      """WITH c AS (SELECT doc_id,
+        |  'https://www.example.com/Page/' || (doc_id % 100) ||
+        |  '?a=' || (doc_id % 7) || '&b=' || (doc_id % 5) AS canon
+        |  FROM documents)
+        |SELECT canon, count(*) AS n_docs, min(doc_id) AS min_doc,
+        |  max(doc_id) AS max_doc
+        |FROM c GROUP BY canon ORDER BY canon""".stripMargin,
+    // Gopher quality rules: identical micro-unit expression tree
+    "text_gopher_quality" ->
+      """WITH docs AS MATERIALIZED (SELECT doc_id, text AS t,
+        |  list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |    x -> x <> '') AS w FROM documents),
+        |base AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(COALESCE(list_aggregate(
+        |    list_transform(w, x -> CAST(length(x) AS BIGINT)), 'sum'), 0)
+        |    AS BIGINT) AS n_letters,
+        |  CAST(length(t) - length(regexp_replace(t, '[#<>{}\[\]|\\^~]', '', 'g'))
+        |    AS BIGINT) AS n_symbols FROM docs),
+        |t1 AS (SELECT doc_id, unnest(w) AS word FROM base),
+        |t2 AS (SELECT doc_id, word, count(*) AS c FROM t1 GROUP BY doc_id, word),
+        |tw AS (SELECT doc_id, max(c) AS top_c FROM t2 GROUP BY doc_id),
+        |m AS (SELECT base.doc_id, n_words,
+        |  CASE WHEN n_words > 0 THEN CAST(floor(
+        |    CAST(n_letters AS DOUBLE) * 1e6 / n_words) AS BIGINT)
+        |    ELSE 0 END AS mean_word_len_micro,
+        |  CASE WHEN n_words > 0 THEN CAST(floor(
+        |    CAST(n_symbols AS DOUBLE) * 1e6 / n_words) AS BIGINT)
+        |    ELSE 0 END AS symbol_ratio_micro,
+        |  CASE WHEN n_words > 0 THEN CAST(floor(
+        |    CAST(COALESCE(top_c, 0) AS DOUBLE) * 1e6 / n_words) AS BIGINT)
+        |    ELSE 0 END AS top_word_frac_micro
+        |  FROM base LEFT JOIN tw ON base.doc_id = tw.doc_id)
+        |SELECT doc_id, n_words, mean_word_len_micro, symbol_ratio_micro,
+        |  top_word_frac_micro,
+        |  (n_words >= 5 AND n_words <= 100000 AND
+        |   mean_word_len_micro >= 2000000 AND mean_word_len_micro <= 12000000 AND
+        |   symbol_ratio_micro <= 300000 AND top_word_frac_micro <= 200000) AS passes
+        |FROM m ORDER BY doc_id""".stripMargin,
     // int8 quantization: identical scale/round/clamp expression tree
     "ann_quantize_int8" ->
       """WITH e AS MATERIALIZED (SELECT vec_id,

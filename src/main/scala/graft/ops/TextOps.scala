@@ -177,6 +177,87 @@ object TextOps {
         count(lit(1)).as("n_hits"))
   }
 
+  /** Canonicalize a URL column for exact-duplicate collapsing — the
+    * first dedup pass of any web-corpus pipeline (the same page arrives
+    * as `HTTPS://Host/a?utm_source=x&id=1#frag` and
+    * `https://host/a?id=1`). Steps, each a codegen'd string/array
+    * function (no UDF, no shuffle):
+    *
+    *  1. strip the fragment (`#…` never reaches the server);
+    *  2. lowercase the scheme and authority (case-insensitive per RFC
+    *     3986 §6.2.2.1) — the path keeps its case (significant);
+    *  3. drop tracking parameters (`utm_*`, `gclid`, `fbclid`);
+    *  4. sort the surviving query parameters (order-insensitive on
+    *     virtually all servers; sorting is what makes the key stable).
+    *
+    * Returns the canonical URL string; non-URL inputs (no `://`) pass
+    * through lowercased-scheme-free, unchanged except fragment/query
+    * handling never firing.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val kept = array_sort(filter(split(query, "&"), p =>
+      !(p.startsWith("utm_") || p.startsWith("gclid=") || p.startsWith("fbclid=") ||
+        p === "")))
+    val canonQ = array_join(kept, "&")
+    val withQ = when(length(canonQ) > 0, concat(lit("?"), canonQ)).otherwise(lit(""))
+    when(scheme === "", noFrag)
+      .otherwise(concat(scheme, lit("://"), host, rest, withQ))
+  }
+
+  /** Gopher-style quality gate (Rae et al. 2021's repetition/format
+    * heuristics, the standard pre-training curation rules): word count
+    * bounds, mean word length bounds, symbol-to-word ratio, and the
+    * top-word repetition fraction — a document whose single most
+    * frequent word exceeds `maxTopWordFrac` of all words is boilerplate.
+    * All ratios in integer micro-units (BIGINT-exact arithmetic →
+    * bit-identical across engines). The top-word fraction needs one
+    * explode + two aggregations (per-(doc, word) then per-doc max) —
+    * the only shuffle; everything else is a narrow projection.
+    *
+    * Output: (doc_id, n_words, mean_word_len_micro, symbol_ratio_micro,
+    * top_word_frac_micro, passes).
+    */
+  def gopherQuality(docs: DataFrame, id: Column, text: Column,
+                    minWords: Int = 5, maxWords: Int = 100000,
+                    minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
+                    maxSymbolRatio: Double = 0.3,
+                    maxTopWordFrac: Double = 0.2): DataFrame = {
+    val base = docs.select(id.as("doc_id"), text.as("t"),
+        filter(split(lower(text), "[^a-z]+"), x => x =!= "").as("w"))
+      .select(col("doc_id"), col("w"),
+        size(col("w")).cast("long").as("n_words"),
+        aggregate(col("w"), lit(0L), (a, x) => a + length(x)).as("n_letters"),
+        (length(col("t")) -
+          length(regexp_replace(col("t"), "[#<>{}\\[\\]|\\\\^~]", "")))
+          .cast("long").as("n_symbols"))
+    val top = base.select(col("doc_id"), explode(col("w")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+    base.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        when(col("n_words") > 0,
+            floor(col("n_letters").cast("double") * 1e6 / col("n_words")).cast("long"))
+          .otherwise(lit(0L)).as("mean_word_len_micro"),
+        when(col("n_words") > 0,
+            floor(col("n_symbols").cast("double") * 1e6 / col("n_words")).cast("long"))
+          .otherwise(lit(0L)).as("symbol_ratio_micro"),
+        when(col("n_words") > 0,
+            floor(coalesce(col("top_c"), lit(0L)).cast("double") * 1e6 / col("n_words"))
+              .cast("long"))
+          .otherwise(lit(0L)).as("top_word_frac_micro"))
+      .withColumn("passes",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len_micro") >= (minMeanLen * 1e6).toLong &&
+          col("mean_word_len_micro") <= (maxMeanLen * 1e6).toLong &&
+          col("symbol_ratio_micro") <= (maxSymbolRatio * 1e6).toLong &&
+          col("top_word_frac_micro") <= (maxTopWordFrac * 1e6).toLong)
+  }
+
   /** Word n-gram shingles as space-joined strings (n ≥ 1).
     *
     * PERF: when `w` is an inline expression (e.g. `words(text)`), Catalyst

@@ -109,6 +109,45 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("canonicalizeUrl: case/fragment/tracking/param-order variants collapse; path case kept") {
+    val sp = spark; import sp.implicits._
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM/Page/1?utm_source=x&b=2&a=1#frag",
+      "https://www.example.com/Page/1?a=1&b=2",
+      "https://www.example.com/page/1?a=1&b=2", // path case differs → distinct
+      "not a url at all#frag",
+      "https://host/bare").toDF("u")
+    val got = urls.select(TextOps.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got(0) == got(1), "variants must canonicalize identically")
+    assert(got(0) == "https://www.example.com/Page/1?a=1&b=2")
+    assert(got(2) == "https://www.example.com/page/1?a=1&b=2")
+    assert(got(2) != got(1), "path case is significant")
+    assert(got(3) == "not a url at all", "non-URL passes through sans fragment")
+    assert(got(4) == "https://host/bare")
+  }
+
+  test("gopherQuality: repetition and word-count rules fire; micro-units partition-invariant") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over lazy dogs"),  // 8 words, varied → passes
+      (2L, "spam spam spam spam spam ham"),              // top-word frac 5/6 → fails
+      (3L, "too short"),                                 // 2 words → fails
+      (4L, "x #### <<<< {{{{ }}}} yyyy zzzz wwww vvvv")) // symbols → fails
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherQuality(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getBoolean(5))).toMap
+    assert(got(1L)._4, s"doc 1 should pass, got ${got(1L)}")
+    assert(!got(2L)._4 && got(2L)._3 == 833333L, "5/6 repetition → 833333 micro, fails")
+    assert(!got(3L)._4, "2 words < minWords")
+    assert(!got(4L)._4, "symbol ratio over budget")
+    val re = TextOps.gopherQuality(docs.repartition(5), col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getBoolean(5))).toMap
+    assert(re == got)
+  }
+
   test("simhash60: identical texts agree; near texts are hamming-close; bits fit in 60") {
     val sp = spark; import sp.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
