@@ -910,6 +910,38 @@ object SparkEntry {
     TextOps.gopherQuality(t(spark, dir, "documents"), col("doc_id"), col("text"))
       .orderBy("doc_id")
 
+  /** Benchmark decontamination ([[TextOps.contamination]]): the docs
+    * with `doc_id % 97 == 0` act as the held-out benchmark; every other
+    * doc is probed for shared 3-gram shingles (171 contaminated probes
+    * at sf0.01, hits 1–4 — and at 5-grams the one hit left is a planted
+    * near-duplicate, exactly the real-world signal).
+    */
+  def textContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    TextOps.contamination(
+        docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") % 97 === 0), col("text"), n = 3)
+      .orderBy("doc_id")
+  }
+
+  /** PII detection + redaction ([[TextOps.piiStats]]) over documents
+    * with deterministically minted PII (one of email / phone / IPv4 per
+    * doc by `doc_id % 3`): counts per type plus the h60 fingerprint of
+    * the redacted text — a single mis-redacted byte shifts the hash.
+    */
+  def textPii(spark: SparkSession, dir: String): DataFrame = {
+    val s = (c: org.apache.spark.sql.Column) => c.cast("string")
+    val extra = when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), s(col("doc_id")), lit("@example.com now")))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit(" call +1 555 010 "), lpad(s(col("doc_id") % 10000), 4, "0")))
+      .otherwise(concat(lit(" host 10.0."), s(col("doc_id") % 256),
+        lit("."), s(col("doc_id") % 100), lit(" up")))
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), concat(col("text"), extra).as("text"))
+    TextOps.piiStats(docs, col("doc_id"), col("text")).orderBy("doc_id")
+  }
+
   /** Aggregates over full value expressions — `(SUM(?rk * ?rk) AS ?ss)`
     * etc., the analytic tail SPARQL 1.1 allows and simple-variable-only
     * grammars reject.
@@ -1552,6 +1584,8 @@ object SparkEntry {
     "ann_quantize_int8" -> (annQuantizeInt8(_, _)),
     "url_canonicalize" -> (urlCanonicalize(_, _)),
     "text_gopher_quality" -> (textGopherQuality(_, _)),
+    "text_contamination" -> (textContamination(_, _)),
+    "text_pii" -> (textPii(_, _)),
     "kg_nquads_roundtrip" -> (kgNquadsRoundtrip(_, _)),
     "kg_agg_expr" -> (kgAggExpr(_, _)),
     "kg_pagerank" -> (kgPageRank(_, _)),
@@ -2194,6 +2228,41 @@ object SparkEntry {
         |SELECT canon, count(*) AS n_docs, min(doc_id) AS min_doc,
         |  max(doc_id) AS max_doc
         |FROM c GROUP BY canon ORDER BY canon""".stripMargin,
+    // decontamination: same shingle + h60 machinery, independent SQL
+    "text_contamination" ->
+      s"""WITH docs AS MATERIALIZED (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+         |    x -> x <> '') AS w FROM documents),
+         |sh AS (SELECT doc_id, list_transform(range(1, len(w) - 1),
+         |  i -> array_to_string(w[i:i+2], ' ')) AS sgs FROM docs),
+         |e0 AS (SELECT doc_id, unnest(sgs) AS s FROM sh),
+         |e AS (SELECT doc_id, ${h60Sql("s")} AS h FROM e0),
+         |bench AS (SELECT DISTINCT h FROM e WHERE doc_id % 97 = 0),
+         |hits AS (SELECT e.doc_id, count(*) AS n_hits FROM e
+         |  JOIN bench USING (h) WHERE e.doc_id % 97 <> 0 GROUP BY e.doc_id)
+         |SELECT sh.doc_id, CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(len(sgs) AS BIGINT) AS n_shingles,
+         |  COALESCE(n_hits, 0) > 0 AS contaminated
+         |FROM sh LEFT JOIN hits ON sh.doc_id = hits.doc_id
+         |WHERE sh.doc_id % 97 <> 0 ORDER BY sh.doc_id""".stripMargin,
+    // PII: identical regex constants + redaction order + h60 fingerprint
+    "text_pii" ->
+      s"""WITH docs AS MATERIALIZED (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 3 = 0
+         |    THEN ' contact user' || doc_id || '@example.com now'
+         |  WHEN doc_id % 3 = 1
+         |    THEN ' call +1 555 010 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |  ELSE ' host 10.0.' || (doc_id % 256) || '.' || (doc_id % 100) || ' up'
+         |  END AS t FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '${TextOps.Ipv4Re}')) AS BIGINT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(t, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  ${h60Sql(s"regexp_replace(regexp_replace(regexp_replace(t, " +
+             s"'${TextOps.EmailRe}', '[EMAIL]', 'g'), " +
+             s"'${TextOps.PhoneRe}', '[PHONE]', 'g'), " +
+             s"'${TextOps.Ipv4Re}', '[IP]', 'g')")} AS redacted_fp
+         |FROM docs ORDER BY doc_id""".stripMargin,
     // Gopher quality rules: identical micro-unit expression tree
     "text_gopher_quality" ->
       """WITH docs AS MATERIALIZED (SELECT doc_id, text AS t,

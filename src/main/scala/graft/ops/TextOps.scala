@@ -258,6 +258,74 @@ object TextOps {
           col("top_word_frac_micro") <= (maxTopWordFrac * 1e6).toLong)
   }
 
+  /** Benchmark decontamination: flag training documents sharing word
+    * n-gram shingles with a held-out benchmark set (the GPT-3-style
+    * n-gram collision check every serious pre-training pipeline runs
+    * before the data ships). Both sides shingle through the same
+    * [[shinglesOfWords]] machinery (staged words projection — see the
+    * PERF note there), shingles compress to [[PortableHash.h60]] (8
+    * bytes instead of ~n·5 on the wire), and the benchmark side
+    * DISTINCTs then broadcasts: benchmarks are tiny by definition, so
+    * the corpus-side scan joins map-side and never shuffles. Counts are
+    * multiset hits (each occurrence of a benchmark shingle in a doc
+    * counts — repeated contamination reads as a higher score).
+    *
+    * Output: (doc_id, n_hits, n_shingles, contaminated = n_hits > 0)
+    * for EVERY probe document (zero-hit docs included: the gate needs
+    * the clean list too).
+    */
+  def contamination(docs: DataFrame, id: Column, text: Column,
+                    bench: DataFrame, benchText: Column, n: Int = 13): DataFrame = {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
+    val dsh = docs.select(id.as("doc_id"), words(text).as("w"))
+      .select(col("doc_id"), shinglesOfWords(col("w"), n).as("sgs"))
+      .select(col("doc_id"), size(col("sgs")).cast("long").as("n_shingles"),
+        col("sgs"))
+    val dex = dsh.select(col("doc_id"), explode(col("sgs")).as("s"))
+      .select(col("doc_id"), PortableHash.h60(col("s")).as("h"))
+    val bset = bench.select(words(benchText).as("w"))
+      .select(explode(shinglesOfWords(col("w"), n)).as("s"))
+      .select(PortableHash.h60(col("s")).as("h")).distinct()
+    val hits = dex.join(broadcast(bset), Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    dsh.select(col("doc_id"), col("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_shingles"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** PII detection + deterministic redaction — emails, IPv4 addresses,
+    * and international-format phone numbers counted per document and
+    * replaced by typed placeholders. Pure regex projections (codegen'd
+    * `regexp_count`/`regexp_replace`, no UDF, no shuffle); the patterns
+    * avoid engine-divergent constructs (`\\b`, lookaround) so the SAME
+    * pattern text runs in Spark (Java regex) and the DuckDB oracle
+    * (RE2). The redacted text is value-gated through its
+    * [[PortableHash.h60]] fingerprint — a single mis-redacted byte
+    * shifts the hash.
+    *
+    * Output: (doc_id, n_emails, n_ipv4, n_phones, redacted_fp).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhoneRe = "\\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}"
+
+  def piiStats(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    // order matters: phones carry digits an IPv4 pattern could nibble —
+    // redact emails, then phones, then IPs, counting on the ORIGINAL text
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      Ipv4Re, "[IP]")
+    docs.select(id.as("doc_id"),
+      regexp_count(text, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(text, lit(Ipv4Re)).cast("long").as("n_ipv4"),
+      regexp_count(text, lit(PhoneRe)).cast("long").as("n_phones"),
+      PortableHash.h60(redacted).as("redacted_fp"))
+  }
+
   /** Word n-gram shingles as space-joined strings (n ≥ 1).
     *
     * PERF: when `w` is an inline expression (e.g. `words(text)`), Catalyst

@@ -148,6 +148,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(re == got)
   }
 
+  test("contamination: shared n-grams flag probes, multiset counting, clean docs listed with zero") {
+    val sp = spark; import sp.implicits._
+    val probe = Seq(
+      (1L, "alpha beta gamma delta"),              // shares "alpha beta gamma"
+      (2L, "alpha beta gamma alpha beta gamma x"), // shares it TWICE (multiset)
+      (3L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma epsilon").toDF("text")
+    val got = TextOps.contamination(probe, col("doc_id"), col("text"),
+        bench, col("text"), n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got(1L) == ((1L, 2L, true)))
+    assert(got(2L) == ((2L, 5L, true)), "repeated contamination must count per occurrence")
+    assert(got(3L) == ((0L, 2L, false)), "clean doc appears with zero hits")
+  }
+
+  test("piiStats: counts per type, redaction order preserves phone digits from the IP regex") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "mail a.b+c@test.org and x@y.io here"),
+      (2L, "call +44 123 4567 8901 now"),
+      (3L, "server 192.168.0.1 and 10.0.0.255"),
+      (4L, "nothing sensitive")).toDF("doc_id", "text")
+    val got = TextOps.piiStats(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) == ((2L, 0L, 0L)))
+    assert(got(2L) == ((0L, 0L, 1L)))
+    assert(got(3L) == ((0L, 2L, 0L)))
+    assert(got(4L) == ((0L, 0L, 0L)))
+    // redaction fingerprint equals the hash of the hand-redacted text
+    val fp = TextOps.piiStats(docs.filter(col("doc_id") === 2L), col("doc_id"), col("text"))
+      .collect().head.getLong(4)
+    assert(fp == PortableHash.h60("call [PHONE] now"))
+  }
+
   test("simhash60: identical texts agree; near texts are hamming-close; bits fit in 60") {
     val sp = spark; import sp.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
