@@ -942,6 +942,23 @@ object SparkEntry {
     TextOps.piiStats(docs, col("doc_id"), col("text")).orderBy("doc_id")
   }
 
+  /** Seeded label propagation ([[GraphOps.labelPropagation]]) over the
+    * KG edge graph: the five region nodes seed their names, three
+    * synchronous majority rounds type every nation, customer, and
+    * supplier — KG entity classification from link structure alone.
+    */
+  def kgLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val kg = kgTriples(spark, dir)
+    val seeds = t(spark, dir, "region").select(
+      concat(lit("urn:dm:region/"), col("r_regionkey")).as("node"),
+      col("r_name").as("label"))
+    GraphOps.labelPropagation(
+        kg.filter(col("dt") === "")
+          .select(col("subj").as("src"), col("obj").as("dst")),
+        seeds, iterations = 3)
+      .orderBy("node")
+  }
+
   /** Aggregates over full value expressions — `(SUM(?rk * ?rk) AS ?ss)`
     * etc., the analytic tail SPARQL 1.1 allows and simple-variable-only
     * grammars reject.
@@ -1586,6 +1603,7 @@ object SparkEntry {
     "text_gopher_quality" -> (textGopherQuality(_, _)),
     "text_contamination" -> (textContamination(_, _)),
     "text_pii" -> (textPii(_, _)),
+    "kg_label_prop" -> (kgLabelProp(_, _)),
     "kg_nquads_roundtrip" -> (kgNquadsRoundtrip(_, _)),
     "kg_agg_expr" -> (kgAggExpr(_, _)),
     "kg_pagerank" -> (kgPageRank(_, _)),
@@ -1756,6 +1774,36 @@ object SparkEntry {
        |SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score_micro,
        |  count(*) AS n_hits
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Label-propagation rounds replayed with the same majority-argmax
+    * ordering (count DESC, label ASC) and clamped seeds; every round
+    * MATERIALIZED (each references the previous twice).
+    */
+  private def labelPropOracleSql(iterations: Int): String = {
+    def round(i: Int): String =
+      s"""nb$i AS (SELECT und.dst AS node, l.label FROM und
+         |  JOIN l${i - 1} l ON und.src = l.node WHERE l.label IS NOT NULL),
+         |cnt$i AS (SELECT node, label, count(*) AS c FROM nb$i GROUP BY node, label),
+         |pick$i AS (SELECT node, label AS new_label FROM (
+         |  SELECT node, label, row_number() OVER (
+         |    PARTITION BY node ORDER BY c DESC, label ASC) AS rn FROM cnt$i)
+         |  WHERE rn = 1),
+         |l$i AS MATERIALIZED (SELECT l.node,
+         |    COALESCE(s.seed_label, p.new_label, l.label) AS label
+         |  FROM l${i - 1} l LEFT JOIN pick$i p ON l.node = p.node
+         |  LEFT JOIN seeds s ON l.node = s.node)""".stripMargin
+    s"""WITH $kgQuadsCte,
+       |e AS (SELECT DISTINCT subj AS src, obj AS dst FROM kg
+       |  WHERE dt = '' AND subj <> obj),
+       |und AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+       |nodes AS (SELECT DISTINCT src AS node FROM und),
+       |seeds AS MATERIALIZED (SELECT 'urn:dm:region/'||r_regionkey AS node,
+       |  r_name AS seed_label FROM region),
+       |l0 AS MATERIALIZED (SELECT nodes.node, seed_label AS label
+       |  FROM nodes LEFT JOIN seeds ON nodes.node = seeds.node),
+       |${(1 to iterations).map(round).mkString(",\n")}
+       |SELECT node, label FROM l$iterations ORDER BY node""".stripMargin
   }
 
   /** k-core peel replayed as unrolled rounds (the fixpoint is unique, so
@@ -2169,6 +2217,7 @@ object SparkEntry {
         |FROM cc GROUP BY degree, coeff_micro ORDER BY degree, coeff_micro""".stripMargin,
     "kg_kcore" -> kcoreOracleSql(k = 8, rounds = 6),
     "kg_hits" -> hitsOracleSql(iterations = 2),
+    "kg_label_prop" -> labelPropOracleSql(iterations = 3),
     // dateTime accessors over fixed literals → expected values verbatim
     "kg_datetime_fns" ->
       """SELECT e, y, mo, d, h, mi, s, tz FROM (VALUES

@@ -2534,6 +2534,61 @@ object GraphOps {
         "rounds — raise maxIterations")
   }
 
+  /** Semi-supervised label propagation: seed nodes carry fixed labels
+    * (CLAMPED — they never change, the standard semi-supervised
+    * contract), and for `iterations` synchronous rounds every node
+    * adopts the MAJORITY label among its (undirected) neighbors'
+    * current labels — ties break on the lexicographically smallest
+    * label, nodes with no labeled neighbor keep their previous label
+    * (initially null). Everything is integer counts and string
+    * comparisons, so the op is deterministic across partitionings and
+    * replayable declaratively (the DuckDB oracle unrolls the same
+    * rounds with the same argmax ordering). Per round: one equi-join of
+    * the symmetrized edge table against the CURRENT labeled set (shrunk
+    * to labeled nodes only), one hash-count, one per-node argmax window
+    * — all keyed on the uniform node id; lineage cut per round. The
+    * entity-classification workhorse over a constructed KG: seed a few
+    * typed nodes, let the link structure type the rest.
+    *
+    * Output: (node, label) for every node incident to an edge; label
+    * null where no seed's influence reached within the round budget.
+    */
+  def labelPropagation(edges0: DataFrame, seeds: DataFrame,
+                       iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val edges = edges0.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val nodes = und.select(col("src").as("node")).distinct()
+    val seedsFixed = seeds.select(col("node"), col("label").as("seed_label"))
+      .localCheckpoint()
+    var labels = nodes
+      .join(seedsFixed, Seq("node"), "left")
+      .select(col("node"), col("seed_label").as("label"))
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("c").desc, col("label").asc)
+    for (_ <- 1 to iterations) {
+      val nb = und.join(
+          labels.filter(col("label").isNotNull)
+            .select(col("node").as("src"), col("label")), Seq("src"))
+        .select(col("dst").as("node"), col("label"))
+      val picked = nb.groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("node"), col("label"), row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label").as("new_label"))
+      labels = labels.join(picked, Seq("node"), "left")
+        .join(seedsFixed, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("seed_label"), col("new_label"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** HITS (Kleinberg) hub/authority scores over a directed edge list,
     * fixed `iterations` rounds of the mutual recurrence with L1
     * normalization: `auth ∝ Σ hub(in-neighbors)`, then

@@ -1513,6 +1513,31 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m == 1)
   }
 
+  test("labelPropagation: majority vote, lexical tie-break, clamped seeds, unreached stays null") {
+    val sp = spark; import sp.implicits._
+    //   a(seed X) — m — b(seed Y)   m ties X/Y → lexical min X
+    //   b — c                        c takes Y in round 2 via b
+    //   a — m2, b — m2               m2 majority? one X one Y → tie → X
+    //   iso1 — iso2                  never reached → null labels
+    val edges = Seq(("a", "m"), ("b", "m"), ("b", "c"), ("a", "m2"), ("b", "m2"),
+      ("iso1", "iso2")).toDF("src", "dst")
+    val seeds = Seq(("a", "X"), ("b", "Y")).toDF("node", "label")
+    val got = GraphOps.labelPropagation(edges, seeds, iterations = 3)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toMap
+    assert(got("a") == Some("X") && got("b") == Some("Y"), "seeds are clamped")
+    assert(got("m") == Some("X"), "X/Y tie must break to the lexically smaller")
+    assert(got("m2") == Some("X"))
+    assert(got("c") == Some("Y"))
+    assert(got("iso1").isEmpty && got("iso2").isEmpty, "unreached stays unlabeled")
+    // seed clamping under adversarial majority: surround a seed with the
+    // other label — it must not flip
+    val edges2 = Seq(("a", "y1"), ("a", "y2"), ("a", "y3")).toDF("src", "dst")
+    val seeds2 = Seq(("a", "X"), ("y1", "Y"), ("y2", "Y"), ("y3", "Y")).toDF("node", "label")
+    val g2 = GraphOps.labelPropagation(edges2, seeds2, iterations = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(g2("a") == "X", "clamped seed must not flip under majority pressure")
+  }
+
   test("clusteringCoefficient: K4 corner = 1.0, pendant = 0, open wedge center = 0") {
     val sp = spark; import sp.implicits._
     // K4 {a,b,c,d}: every node deg 3, 3 triangles → coeff 2*3/(3*2) = 1.
