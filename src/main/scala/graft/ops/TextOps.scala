@@ -111,8 +111,12 @@ object TextOps {
     val toks = docs.select(id.as("doc_id"),
         explode(split(lower(text), "[^a-z]+")).as("token"))
       .filter(col("token") =!= "")
+    // tf feeds BOTH the score join and the df derivation: persist it so
+    // the tokenize+explode pass runs once, not twice (at corpus scale the
+    // explode is the expensive leg; tf itself is docs×distinct-tokens —
+    // spillable MEMORY_AND_DISK default)
     val tf = toks.groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")).persist()
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val scored = tf.join(df, Seq("token"))
@@ -160,8 +164,10 @@ object TextOps {
     val toks = base.select(col("doc_id"), col("dl"),
         explode(col("w")).as("token"))
       .filter(col("token").isin(terms: _*))
+    // persisted for the same two-consumer reason as tfIdf's tf — and
+    // query-vocabulary-pruned, so it's tiny (docs × |queryTerms| max)
     val tf = toks.groupBy(col("doc_id"), col("dl"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")).persist()
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), Seq("token"))
       .crossJoin(broadcast(stats))
