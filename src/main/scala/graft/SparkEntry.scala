@@ -959,6 +959,25 @@ object SparkEntry {
       .orderBy("node")
   }
 
+  /** k-hop feature propagation ([[GraphOps.featurePropagation]]) over
+    * the KG edge graph with all-ones init: after 2 hops each node's
+    * feature counts its ≤2-step in-paths — exact BIGINT message
+    * passing, profiled as a (f, count, min/max node) histogram.
+    */
+  def kgFeatureProp(spark: SparkSession, dir: String): DataFrame = {
+    val kg = kgTriples(spark, dir)
+    val edges = kg.filter(col("dt") === "")
+      .select(col("subj").as("src"), col("obj").as("dst"))
+    val ones = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .select(col("node"), lit(1L).as("f"))
+    GraphOps.featurePropagation(edges, ones, hops = 2)
+      .groupBy(col("f"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
+        max(col("node")).as("max_node"))
+      .orderBy("f")
+  }
+
   /** Aggregates over full value expressions — `(SUM(?rk * ?rk) AS ?ss)`
     * etc., the analytic tail SPARQL 1.1 allows and simple-variable-only
     * grammars reject.
@@ -1604,6 +1623,7 @@ object SparkEntry {
     "text_contamination" -> (textContamination(_, _)),
     "text_pii" -> (textPii(_, _)),
     "kg_label_prop" -> (kgLabelProp(_, _)),
+    "kg_feature_prop" -> (kgFeatureProp(_, _)),
     "kg_nquads_roundtrip" -> (kgNquadsRoundtrip(_, _)),
     "kg_agg_expr" -> (kgAggExpr(_, _)),
     "kg_pagerank" -> (kgPageRank(_, _)),
@@ -2218,6 +2238,24 @@ object SparkEntry {
     "kg_kcore" -> kcoreOracleSql(k = 8, rounds = 6),
     "kg_hits" -> hitsOracleSql(iterations = 2),
     "kg_label_prop" -> labelPropOracleSql(iterations = 3),
+    // exact BIGINT message passing: two unrolled SpMV rounds
+    "kg_feature_prop" ->
+      s"""WITH $kgQuadsCte,
+         |e AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst FROM kg
+         |  WHERE dt = '' AND subj <> obj),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |f0 AS MATERIALIZED (SELECT node, CAST(1 AS BIGINT) AS f FROM nodes),
+         |m1 AS (SELECT e.dst AS node, CAST(sum(f0.f) AS BIGINT) AS sf
+         |  FROM e JOIN f0 ON e.src = f0.node GROUP BY e.dst),
+         |f1 AS MATERIALIZED (SELECT f0.node, f0.f + COALESCE(m1.sf, 0) AS f
+         |  FROM f0 LEFT JOIN m1 ON f0.node = m1.node),
+         |m2 AS (SELECT e.dst AS node, CAST(sum(f1.f) AS BIGINT) AS sf
+         |  FROM e JOIN f1 ON e.src = f1.node GROUP BY e.dst),
+         |f2 AS (SELECT f1.node, f1.f + COALESCE(m2.sf, 0) AS f
+         |  FROM f1 LEFT JOIN m2 ON f1.node = m2.node)
+         |SELECT f, count(*) AS n_nodes, min(node) AS min_node,
+         |  max(node) AS max_node
+         |FROM f2 GROUP BY f ORDER BY f""".stripMargin,
     // dateTime accessors over fixed literals → expected values verbatim
     "kg_datetime_fns" ->
       """SELECT e, y, mo, d, h, mi, s, tz FROM (VALUES

@@ -2589,6 +2589,42 @@ object GraphOps {
     labels
   }
 
+  /** k-hop integer feature propagation — the message-passing primitive
+    * GNN data preparation runs at corpus scale (sparse matrix–vector
+    * multiply chained k times): each hop every node's feature becomes
+    * `own + Σ feature(in-neighbors)` (GCN-with-self-loop shape). Pure
+    * BIGINT arithmetic, so the result is exact, partition-invariant,
+    * and declaratively replayable — no quantization needed at all. Per
+    * hop: one equi-join of the edge table against the current feature
+    * vector plus one hash aggregation on the destination — the textbook
+    * SpMV-as-relational-rounds; co-partition the stored edge table by
+    * `src` and the join side is shuffle-free. Missing features default
+    * to 0; with all-ones init, hop h computes the number of ≤h-step
+    * in-paths per node (weighted path counting).
+    *
+    * Output: (node, f) for every node incident to an edge.
+    */
+  def featurePropagation(edges0: DataFrame, features: DataFrame,
+                         hops: Int = 2): DataFrame = {
+    require(hops >= 1, s"hops must be >= 1, got $hops")
+    val edges = edges0.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    var f = nodes.join(features.select(col("node"), col("f")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("f"), lit(0L)).cast("long").as("f"))
+      .localCheckpoint()
+    for (_ <- 1 to hops) {
+      val msg = edges
+        .join(f.select(col("node").as("src"), col("f").as("mf")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("mf")).as("sf"))
+      f = f.join(msg, Seq("node"), "left")
+        .select(col("node"), (col("f") + coalesce(col("sf"), lit(0L))).as("f"))
+        .localCheckpoint()
+    }
+    f
+  }
+
   /** HITS (Kleinberg) hub/authority scores over a directed edge list,
     * fixed `iterations` rounds of the mutual recurrence with L1
     * normalization: `auth ∝ Σ hub(in-neighbors)`, then

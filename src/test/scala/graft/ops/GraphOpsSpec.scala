@@ -1513,6 +1513,26 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m == 1)
   }
 
+  test("featurePropagation: exact 2-hop path counting, missing features default 0, partition-invariant") {
+    val sp = spark; import sp.implicits._
+    // chain a→b→c plus d→c: with all-ones init,
+    // hop1: a=1, b=1+1=2, c=1+1+1=3, d=1
+    // hop2: a=1, b=1+a=3(2+1), c=3+b(2)+d(1)=6, d=1
+    val edges = Seq(("a", "b"), ("b", "c"), ("d", "c")).toDF("src", "dst")
+    val ones = Seq("a", "b", "c", "d").toDF("node").withColumn("f", lit(1L))
+    val got = GraphOps.featurePropagation(edges, ones, hops = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("a" -> 1L, "b" -> 3L, "c" -> 6L, "d" -> 1L), s"got $got")
+    // missing features default to zero
+    val partial = Seq(("a", 10L)).toDF("node", "f")
+    val g2 = GraphOps.featurePropagation(edges, partial, hops = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(g2 == Map("a" -> 10L, "b" -> 10L, "c" -> 0L, "d" -> 0L))
+    val re = GraphOps.featurePropagation(edges.repartition(5), ones, hops = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(re == got)
+  }
+
   test("labelPropagation: majority vote, lexical tie-break, clamped seeds, unreached stays null") {
     val sp = spark; import sp.implicits._
     //   a(seed X) — m — b(seed Y)   m ties X/Y → lexical min X
