@@ -959,6 +959,17 @@ object SparkEntry {
       .orderBy("node")
   }
 
+  /** DISTINCT inside SUM/AVG aggregates — `SUM(DISTINCT ?rk)` sums each
+    * distinct value once (25 nations share 5 region keys), `AVG
+    * (DISTINCT)` divides by the distinct count, `MIN(DISTINCT)` is
+    * spec-identical to plain MIN, all alongside grouped COUNT.
+    */
+  def kgAggDistinct(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.select(kgTriples(spark, dir),
+      """SELECT (SUM(DISTINCT ?rk) AS ?sd) (AVG(DISTINCT ?rk) AS ?ad)
+        |       (MIN(DISTINCT ?rk) AS ?md) (COUNT(*) AS ?n)
+        |WHERE { ?x <urn:dm:nation#n_regionkey> ?rk }""".stripMargin)
+
   /** k-hop feature propagation ([[GraphOps.featurePropagation]]) over
     * the KG edge graph with all-ones init: after 2 hops each node's
     * feature counts its ≤2-step in-paths — exact BIGINT message
@@ -1624,6 +1635,7 @@ object SparkEntry {
     "text_pii" -> (textPii(_, _)),
     "kg_label_prop" -> (kgLabelProp(_, _)),
     "kg_feature_prop" -> (kgFeatureProp(_, _)),
+    "kg_agg_distinct" -> (kgAggDistinct(_, _)),
     "kg_nquads_roundtrip" -> (kgNquadsRoundtrip(_, _)),
     "kg_agg_expr" -> (kgAggExpr(_, _)),
     "kg_pagerank" -> (kgPageRank(_, _)),
@@ -2238,6 +2250,13 @@ object SparkEntry {
     "kg_kcore" -> kcoreOracleSql(k = 8, rounds = 6),
     "kg_hits" -> hitsOracleSql(iterations = 2),
     "kg_label_prop" -> labelPropOracleSql(iterations = 3),
+    "kg_agg_distinct" ->
+      """SELECT CAST(sum(DISTINCT CAST(n_regionkey AS DOUBLE)) AS DOUBLE) AS sd,
+        |  sum(DISTINCT CAST(n_regionkey AS DOUBLE)) /
+        |    count(DISTINCT CAST(n_regionkey AS DOUBLE)) AS ad,
+        |  min(CAST(n_regionkey AS VARCHAR)) AS md,
+        |  count(*) AS n
+        |FROM nation""".stripMargin,
     // exact BIGINT message passing: two unrolled SpMV rounds
     "kg_feature_prop" ->
       s"""WITH $kgQuadsCte,

@@ -1515,8 +1515,8 @@ object GraphOps {
             sep = Option(sep).map(s => um(s).drop(1).dropRight(1)))
         case AggProjRe(func, dist, arg, alias) =>
           val f = func.toUpperCase
-          if (dist != null) require(f == "COUNT",
-            s"DISTINCT inside an aggregate is supported for COUNT only, got $f")
+          if (dist != null) require(f != "SAMPLE",
+            "SAMPLE(DISTINCT) is meaningless — SAMPLE already picks one value")
           require(!(f == "SAMPLE" && arg == "*"), "SAMPLE needs a ?variable")
           ProjAgg(f, if (arg == "*") None else Some(arg.drop(1)), alias,
             distinctArg = dist != null)
@@ -1572,8 +1572,16 @@ object GraphOps {
       countDistinct(col(a.arg.getOrElse(
         throw new IllegalArgumentException("COUNT(DISTINCT) needs a ?variable"))))
     case "COUNT" => a.arg.map(v => count(col(v))).getOrElse(count(lit(1)))
+    case "SUM" if a.distinctArg => sum_distinct(col(a.arg.getOrElse(
+      throw new IllegalArgumentException("SUM needs a ?variable"))).cast("double"))
     case "SUM" => sum(col(a.arg.getOrElse(
       throw new IllegalArgumentException("SUM needs a ?variable"))).cast("double"))
+    // AVG DISTINCT = sum of distinct values / their count; MIN/MAX over
+    // DISTINCT are spec-identical to the plain forms (fall through)
+    case "AVG" if a.distinctArg =>
+      val v = col(a.arg.getOrElse(
+        throw new IllegalArgumentException("AVG needs a ?variable"))).cast("double")
+      sum_distinct(v) / countDistinct(v)
     case "AVG" => avg(col(a.arg.getOrElse(
       throw new IllegalArgumentException("AVG needs a ?variable"))).cast("double"))
     case "MIN" => min(col(a.arg.getOrElse(
