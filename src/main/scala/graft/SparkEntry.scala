@@ -970,6 +970,24 @@ object SparkEntry {
         |       (MIN(DISTINCT ?rk) AS ?md) (COUNT(*) AS ?n)
         |WHERE { ?x <urn:dm:nation#n_regionkey> ?rk }""".stripMargin)
 
+  /** Deterministic random walks ([[GraphOps.randomWalks]]) over the
+    * SYMMETRIZED KG graph from the supplier nodes — hash-seeded neighbor
+    * choice makes the full walk corpus (every visit of every walk)
+    * value-comparable across engines; the symmetrization gives nations
+    * high degree so the picks genuinely exercise the hash.
+    */
+  def kgRandomWalks(spark: SparkSession, dir: String): DataFrame = {
+    val kg = kgTriples(spark, dir)
+    val dirEdges = kg.filter(col("dt") === "")
+      .select(col("subj").as("src"), col("obj").as("dst"))
+    val edges = dirEdges.union(
+      dirEdges.select(col("dst").as("src"), col("src").as("dst")))
+    val starts = kg.filter(col("pred") === "urn:dm:supplier#ref-s_nationkey")
+      .select(col("subj").as("node"))
+    GraphOps.randomWalks(edges, starts, walkLen = 3, walksPerNode = 2)
+      .orderBy("start", "wid", "step")
+  }
+
   /** k-hop feature propagation ([[GraphOps.featurePropagation]]) over
     * the KG edge graph with all-ones init: after 2 hops each node's
     * feature counts its ≤2-step in-paths — exact BIGINT message
@@ -1636,6 +1654,7 @@ object SparkEntry {
     "kg_label_prop" -> (kgLabelProp(_, _)),
     "kg_feature_prop" -> (kgFeatureProp(_, _)),
     "kg_agg_distinct" -> (kgAggDistinct(_, _)),
+    "kg_random_walks" -> (kgRandomWalks(_, _)),
     "kg_nquads_roundtrip" -> (kgNquadsRoundtrip(_, _)),
     "kg_agg_expr" -> (kgAggExpr(_, _)),
     "kg_pagerank" -> (kgPageRank(_, _)),
@@ -1836,6 +1855,36 @@ object SparkEntry {
        |  FROM nodes LEFT JOIN seeds ON nodes.node = seeds.node),
        |${(1 to iterations).map(round).mkString(",\n")}
        |SELECT node, label FROM l$iterations ORDER BY node""".stripMargin
+  }
+
+  /** Random-walk steps replayed with the identical h60 pick and the
+    * identical row_number neighbor ordering.
+    */
+  private def randomWalksOracleSql(walkLen: Int, walksPerNode: Int): String = {
+    def step(i: Int): String =
+      s"""p$i AS (SELECT s.start, s.wid, s.node,
+         |    (${h60Sql(s"concat_ws('|', s.start, s.wid, $i, s.node)")} % d.deg + 1) AS pick
+         |  FROM s${i - 1} s JOIN deg d ON s.node = d.src),
+         |s$i AS MATERIALIZED (SELECT p.start, p.wid, a.dst AS node
+         |  FROM p$i p JOIN adj a ON p.node = a.src AND p.pick = a.idx)""".stripMargin
+    val widList = (1 to walksPerNode).mkString(", ")
+    val unions = (0 to walkLen).map(i =>
+      s"SELECT start, wid, $i AS step, node FROM s$i").mkString("\n  UNION ALL ")
+    s"""WITH $kgQuadsCte,
+       |e0 AS (SELECT DISTINCT subj AS src, obj AS dst FROM kg
+       |  WHERE dt = '' AND subj <> obj),
+       |e AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |adj AS MATERIALIZED (SELECT src, dst,
+       |  row_number() OVER (PARTITION BY src ORDER BY dst) AS idx FROM e),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |starts AS (SELECT DISTINCT subj AS start FROM kg
+       |  WHERE pred = 'urn:dm:supplier#ref-s_nationkey'),
+       |s0 AS MATERIALIZED (SELECT start, wid, start AS node
+       |  FROM starts CROSS JOIN unnest([$widList]) AS t(wid)),
+       |${(1 to walkLen).map(step).mkString(",\n")}
+       |SELECT start, wid, step, node FROM (
+       |  $unions)
+       |ORDER BY start, wid, step""".stripMargin
   }
 
   /** k-core peel replayed as unrolled rounds (the fixpoint is unique, so
@@ -2250,6 +2299,7 @@ object SparkEntry {
     "kg_kcore" -> kcoreOracleSql(k = 8, rounds = 6),
     "kg_hits" -> hitsOracleSql(iterations = 2),
     "kg_label_prop" -> labelPropOracleSql(iterations = 3),
+    "kg_random_walks" -> randomWalksOracleSql(walkLen = 3, walksPerNode = 2),
     "kg_agg_distinct" ->
       """SELECT CAST(sum(DISTINCT CAST(n_regionkey AS DOUBLE)) AS DOUBLE) AS sd,
         |  sum(DISTINCT CAST(n_regionkey AS DOUBLE)) /

@@ -2633,6 +2633,54 @@ object GraphOps {
     f
   }
 
+  /** Deterministic random walks — the node2vec/DeepWalk corpus
+    * generator, the step before any graph-embedding training run. At
+    * each step the walk at node `cur` moves to the neighbor whose
+    * 1-based index (neighbors ordered by destination id) equals
+    * `h60(start|wid|step|cur) mod out-degree + 1` — a hash-seeded
+    * choice instead of an RNG, so the walk corpus is bit-identical
+    * across partitionings, retries, AND engines (the DuckDB oracle
+    * replays every step with the same h60 and the same `row_number`
+    * neighbor ordering). Dead ends (no out-edges) terminate the walk —
+    * shorter walks are emitted, not padded. Per step: one equi-join
+    * against the degree table and one against the indexed adjacency,
+    * both keyed on the uniform node id; the adjacency is built once
+    * (one window over `src`). Walk count fans out via a literal
+    * sequence explode — no driver loop over walks.
+    *
+    * Output: (start, wid, step, node) — every visit, step 0 = start.
+    */
+  def randomWalks(edges0: DataFrame, starts: DataFrame, walkLen: Int = 3,
+                  walksPerNode: Int = 2): DataFrame = {
+    require(walkLen >= 1, s"walkLen must be >= 1, got $walkLen")
+    require(walksPerNode >= 1, s"walksPerNode must be >= 1, got $walksPerNode")
+    val edges = edges0.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    val adj = edges.select(col("src"), col("dst"), row_number().over(w).as("idx"))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    var state = starts.select(col("node").as("start")).distinct()
+      .select(col("start"),
+        explode(sequence(lit(1), lit(walksPerNode))).as("wid"))
+      .select(col("start"), col("wid"), col("start").as("node"))
+    var acc = state.select(col("start"), col("wid"), lit(0).as("step"), col("node"))
+    for (step <- 1 to walkLen) {
+      val pick = state.join(deg, state("node") === deg("src"))
+        .select(col("start"), col("wid"), col("node"),
+          (PortableHash.h60(concat_ws("|", col("start"), col("wid"),
+            lit(step), col("node"))) % col("deg") + 1).as("pick"))
+      state = pick.join(adj,
+          pick("node") === adj("src") && pick("pick") === adj("idx"))
+        .select(col("start"), col("wid"), col("dst").as("node"))
+        .localCheckpoint()
+      acc = acc.union(
+        state.select(col("start"), col("wid"), lit(step).as("step"), col("node")))
+    }
+    acc
+  }
+
   /** HITS (Kleinberg) hub/authority scores over a directed edge list,
     * fixed `iterations` rounds of the mutual recurrence with L1
     * normalization: `auth ∝ Σ hub(in-neighbors)`, then

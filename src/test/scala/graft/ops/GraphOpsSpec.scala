@@ -1534,6 +1534,34 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(re == got)
   }
 
+  test("randomWalks: hash-seeded picks are valid neighbors, dead ends truncate, partition-invariant") {
+    val sp = spark; import sp.implicits._
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("x", "y"))
+      .toDF("src", "dst")
+    val starts = Seq("a", "x").toDF("node")
+    val rows = GraphOps.randomWalks(edges, starts, walkLen = 4, walksPerNode = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val adj = Map("a" -> Set("b", "c"), "b" -> Set("c"), "c" -> Set("a"),
+      "x" -> Set("y"), "y" -> Set.empty[String])
+    val byWalk = rows.groupBy(r => (r._1, r._2)).view.mapValues(_.sortBy(_._3)).toMap
+    assert(byWalk.keySet == Set(("a", 1), ("a", 2), ("x", 1), ("x", 2)))
+    byWalk.foreach { case ((s, _), visits) =>
+      assert(visits.head._4 == s, "step 0 is the start")
+      visits.toSeq.sliding(2).foreach {
+        case Seq(u, v) => assert(adj(u._4).contains(v._4),
+          s"step ${v._3}: ${u._4} -> ${v._4} is not an edge")
+        case _ =>
+      }
+    }
+    // x -> y then y is a dead end: every x-walk has exactly steps 0 and 1
+    assert(byWalk(("x", 1)).map(_._4).toSeq == Seq("x", "y"))
+    // determinism across partitionings
+    val re = GraphOps.randomWalks(edges.repartition(5), starts, walkLen = 4,
+        walksPerNode = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(re.sortBy(identity).toSeq == rows.sortBy(identity).toSeq)
+  }
+
   test("labelPropagation: majority vote, lexical tie-break, clamped seeds, unreached stays null") {
     val sp = spark; import sp.implicits._
     //   a(seed X) — m — b(seed Y)   m ties X/Y → lexical min X
