@@ -988,6 +988,25 @@ object SparkEntry {
       .orderBy("start", "wid", "step")
   }
 
+  /** Skip-gram (center, context) pair counts
+    * ([[GraphOps.skipGramPairs]], window 2) over the deterministic walk
+    * corpus of [[kgRandomWalks]] — the co-occurrence multiset embedding
+    * training consumes, value-gated end-to-end (walks AND pairing).
+    */
+  def kgSkipgramPairs(spark: SparkSession, dir: String): DataFrame = {
+    val kg = kgTriples(spark, dir)
+    val dirEdges = kg.filter(col("dt") === "")
+      .select(col("subj").as("src"), col("obj").as("dst"))
+    val edges = dirEdges.union(
+      dirEdges.select(col("dst").as("src"), col("src").as("dst")))
+    val starts = kg.filter(col("pred") === "urn:dm:supplier#ref-s_nationkey")
+      .select(col("subj").as("node"))
+    GraphOps.skipGramPairs(
+        GraphOps.randomWalks(edges, starts, walkLen = 3, walksPerNode = 2),
+        window = 2)
+      .orderBy("center", "context")
+  }
+
   /** k-hop feature propagation ([[GraphOps.featurePropagation]]) over
     * the KG edge graph with all-ones init: after 2 hops each node's
     * feature counts its ≤2-step in-paths — exact BIGINT message
@@ -1655,6 +1674,7 @@ object SparkEntry {
     "kg_feature_prop" -> (kgFeatureProp(_, _)),
     "kg_agg_distinct" -> (kgAggDistinct(_, _)),
     "kg_random_walks" -> (kgRandomWalks(_, _)),
+    "kg_skipgram_pairs" -> (kgSkipgramPairs(_, _)),
     "kg_nquads_roundtrip" -> (kgNquadsRoundtrip(_, _)),
     "kg_agg_expr" -> (kgAggExpr(_, _)),
     "kg_pagerank" -> (kgPageRank(_, _)),
@@ -1860,7 +1880,7 @@ object SparkEntry {
   /** Random-walk steps replayed with the identical h60 pick and the
     * identical row_number neighbor ordering.
     */
-  private def randomWalksOracleSql(walkLen: Int, walksPerNode: Int): String = {
+  private def randomWalksCtes(walkLen: Int, walksPerNode: Int): String = {
     def step(i: Int): String =
       s"""p$i AS (SELECT s.start, s.wid, s.node,
          |    (${h60Sql(s"concat_ws('|', s.start, s.wid, $i, s.node)")} % d.deg + 1) AS pick
@@ -1881,11 +1901,24 @@ object SparkEntry {
        |  WHERE pred = 'urn:dm:supplier#ref-s_nationkey'),
        |s0 AS MATERIALIZED (SELECT start, wid, start AS node
        |  FROM starts CROSS JOIN unnest([$widList]) AS t(wid)),
-       |${(1 to walkLen).map(step).mkString(",\n")}
-       |SELECT start, wid, step, node FROM (
-       |  $unions)
-       |ORDER BY start, wid, step""".stripMargin
+       |${(1 to walkLen).map(step).mkString(",\n")},
+       |visits AS MATERIALIZED (
+       |  $unions)""".stripMargin
   }
+
+  private def randomWalksOracleSql(walkLen: Int, walksPerNode: Int): String =
+    s"""${randomWalksCtes(walkLen, walksPerNode)}
+       |SELECT start, wid, step, node FROM visits
+       |ORDER BY start, wid, step""".stripMargin
+
+  private def skipGramOracleSql(walkLen: Int, walksPerNode: Int,
+                                window: Int): String =
+    s"""${randomWalksCtes(walkLen, walksPerNode)}
+       |SELECT a.node AS center, b.node AS context, count(*) AS n_pairs
+       |FROM visits a JOIN visits b
+       |  ON a.start = b.start AND a.wid = b.wid AND a.step <> b.step
+       |  AND abs(a.step - b.step) <= $window
+       |GROUP BY a.node, b.node ORDER BY center, context""".stripMargin
 
   /** k-core peel replayed as unrolled rounds (the fixpoint is unique, so
     * rounds past convergence are no-ops — `rounds` must exceed the
@@ -2300,6 +2333,7 @@ object SparkEntry {
     "kg_hits" -> hitsOracleSql(iterations = 2),
     "kg_label_prop" -> labelPropOracleSql(iterations = 3),
     "kg_random_walks" -> randomWalksOracleSql(walkLen = 3, walksPerNode = 2),
+    "kg_skipgram_pairs" -> skipGramOracleSql(walkLen = 3, walksPerNode = 2, window = 2),
     "kg_agg_distinct" ->
       """SELECT CAST(sum(DISTINCT CAST(n_regionkey AS DOUBLE)) AS DOUBLE) AS sd,
         |  sum(DISTINCT CAST(n_regionkey AS DOUBLE)) /

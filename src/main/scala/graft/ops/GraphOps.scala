@@ -2681,6 +2681,30 @@ object GraphOps {
     acc
   }
 
+  /** Skip-gram training pairs from a walk corpus ([[randomWalks]]
+    * output): every ordered (center, context) pair of visits within the
+    * same walk at step distance 1..window — the co-occurrence multiset
+    * word2vec-style embedding training consumes. One self-join keyed on
+    * the walk identity (start, wid) with a bounded step-distance
+    * predicate (walks are short, so the per-walk blow-up is ≤
+    * 2·window·len — a constant factor, not a cartesian), then one hash
+    * aggregation into pair counts.
+    *
+    * Output: (center, context, n_pairs).
+    */
+  def skipGramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val a = walks.select(col("start"), col("wid"), col("step"), col("node"))
+    val b = a.select(col("start"), col("wid"), col("step").as("bstep"),
+      col("node").as("bnode"))
+    a.join(b, Seq("start", "wid"))
+      .filter(col("step") =!= col("bstep") &&
+        abs(col("step") - col("bstep")) <= window)
+      .select(col("node").as("center"), col("bnode").as("context"))
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** HITS (Kleinberg) hub/authority scores over a directed edge list,
     * fixed `iterations` rounds of the mutual recurrence with L1
     * normalization: `auth ∝ Σ hub(in-neighbors)`, then

@@ -1562,6 +1562,23 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(re.sortBy(identity).toSeq == rows.sortBy(identity).toSeq)
   }
 
+  test("skipGramPairs: window-bounded co-occurrence counts, walks never cross") {
+    val sp = spark; import sp.implicits._
+    // two hand-built walks: (s,1): a b c d ; (s,2): a x
+    val walks = Seq(
+      ("s", 1, 0, "a"), ("s", 1, 1, "b"), ("s", 1, 2, "c"), ("s", 1, 3, "d"),
+      ("s", 2, 0, "a"), ("s", 2, 1, "x"))
+      .toDF("start", "wid", "step", "node")
+    val got = GraphOps.skipGramPairs(walks, window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got(("a", "b")) == 1L && got(("b", "a")) == 1L)
+    assert(got(("a", "c")) == 1L, "distance 2 inside window")
+    assert(!got.contains(("a", "d")), "distance 3 outside window")
+    assert(got(("a", "x")) == 1L, "second walk pairs")
+    assert(!got.contains(("b", "x")), "pairs never cross walks")
+    assert(got(("b", "d")) == 1L && got(("c", "d")) == 1L)
+  }
+
   test("labelPropagation: majority vote, lexical tie-break, clamped seeds, unreached stays null") {
     val sp = spark; import sp.implicits._
     //   a(seed X) — m — b(seed Y)   m ties X/Y → lexical min X
