@@ -1026,6 +1026,46 @@ object SparkEntry {
       .orderBy("f")
   }
 
+  /** The composed curation pipeline — the flow a training-data team
+    * actually runs, chained from the individually-gated operators:
+    * URL canonicalization → exact-URL dedup (min doc per canonical) →
+    * Gopher quality gate → 3-gram benchmark decontamination →
+    * per-source survivor report. Each stage is a stage-local
+    * shuffle-or-less plan; the composition stays one lazy DAG (no
+    * intermediate materialization), which is exactly how the 100 TB
+    * deployment chains them.
+    */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val s = (c: org.apache.spark.sql.Column) => c.cast("string")
+    val docs0 = t(spark, dir, "documents")
+    val url = concat(
+      when(col("doc_id") % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+      lit("://"),
+      when(col("doc_id") % 3 === 0, lit("WWW.Example.COM"))
+        .otherwise(lit("www.example.com")),
+      lit("/Page/"), s(col("doc_id") % 100),
+      lit("?utm_source=feed&b="), s(col("doc_id") % 5),
+      lit("&a="), s(col("doc_id") % 7), lit("#sec"), s(col("doc_id")))
+    val canon = docs0.select(col("doc_id"), col("text"), col("source"),
+      TextOps.canonicalizeUrl(url).as("canon"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canon")).orderBy(col("doc_id"))
+    val deduped = canon.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val passing = TextOps.gopherQuality(deduped, col("doc_id"), col("text"))
+      .filter(col("passes")).select(col("doc_id"))
+    val kept = deduped.join(passing, Seq("doc_id"), "left_semi")
+    val probe = kept.filter(col("doc_id") % 97 =!= 0)
+    val clean = TextOps.contamination(probe, col("doc_id"), col("text"),
+        docs0.filter(col("doc_id") % 97 === 0), col("text"), n = 3)
+      .filter(!col("contaminated")).select(col("doc_id"))
+    probe.join(clean, Seq("doc_id"), "left_semi")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_survivors"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("source")
+  }
+
   /** Aggregates over full value expressions — `(SUM(?rk * ?rk) AS ?ss)`
     * etc., the analytic tail SPARQL 1.1 allows and simple-variable-only
     * grammars reject.
@@ -1675,6 +1715,7 @@ object SparkEntry {
     "kg_agg_distinct" -> (kgAggDistinct(_, _)),
     "kg_random_walks" -> (kgRandomWalks(_, _)),
     "kg_skipgram_pairs" -> (kgSkipgramPairs(_, _)),
+    "curation_pipeline" -> (curationPipeline(_, _)),
     "kg_nquads_roundtrip" -> (kgNquadsRoundtrip(_, _)),
     "kg_agg_expr" -> (kgAggExpr(_, _)),
     "kg_pagerank" -> (kgPageRank(_, _)),
@@ -2453,6 +2494,62 @@ object SparkEntry {
              s"'${TextOps.PhoneRe}', '[PHONE]', 'g'), " +
              s"'${TextOps.Ipv4Re}', '[IP]', 'g')")} AS redacted_fp
          |FROM docs ORDER BY doc_id""".stripMargin,
+    // the composed curation pipeline: each stage is the (already gated)
+    // oracle fragment of its operator, chained
+    "curation_pipeline" ->
+      s"""WITH docs0 AS MATERIALIZED (SELECT doc_id, text, source FROM documents),
+         |c AS (SELECT doc_id, text, source,
+         |  'https://www.example.com/Page/' || (doc_id % 100) ||
+         |  '?a=' || (doc_id % 7) || '&b=' || (doc_id % 5) AS canon FROM docs0),
+         |dd AS MATERIALIZED (SELECT doc_id, text, source FROM (
+         |  SELECT c.*, row_number() OVER (PARTITION BY canon ORDER BY doc_id) AS rn
+         |  FROM c) WHERE rn = 1),
+         |gw AS (SELECT doc_id, text AS t,
+         |  list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+         |    x -> x <> '') AS w FROM dd),
+         |gbase AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_words,
+         |  CAST(COALESCE(list_aggregate(
+         |    list_transform(w, x -> CAST(length(x) AS BIGINT)), 'sum'), 0)
+         |    AS BIGINT) AS n_letters,
+         |  CAST(length(t) - length(regexp_replace(t, '[#<>{}\\[\\]|\\\\^~]', '', 'g'))
+         |    AS BIGINT) AS n_symbols FROM gw),
+         |g1 AS (SELECT doc_id, unnest(w) AS word FROM gbase),
+         |g2 AS (SELECT doc_id, word, count(*) AS c2 FROM g1 GROUP BY doc_id, word),
+         |gtw AS (SELECT doc_id, max(c2) AS top_c FROM g2 GROUP BY doc_id),
+         |gm AS (SELECT gbase.doc_id, n_words,
+         |  CASE WHEN n_words > 0 THEN CAST(floor(
+         |    CAST(n_letters AS DOUBLE) * 1e6 / n_words) AS BIGINT) ELSE 0 END AS mwl,
+         |  CASE WHEN n_words > 0 THEN CAST(floor(
+         |    CAST(n_symbols AS DOUBLE) * 1e6 / n_words) AS BIGINT) ELSE 0 END AS sym,
+         |  CASE WHEN n_words > 0 THEN CAST(floor(
+         |    CAST(COALESCE(top_c, 0) AS DOUBLE) * 1e6 / n_words) AS BIGINT)
+         |    ELSE 0 END AS twf
+         |  FROM gbase LEFT JOIN gtw ON gbase.doc_id = gtw.doc_id),
+         |kept AS MATERIALIZED (SELECT dd.doc_id, dd.text, dd.source
+         |  FROM dd JOIN gm ON dd.doc_id = gm.doc_id
+         |  WHERE n_words >= 5 AND n_words <= 100000 AND mwl >= 2000000
+         |    AND mwl <= 12000000 AND sym <= 300000 AND twf <= 200000),
+         |bw AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+         |    x -> x <> '') AS w FROM docs0 WHERE doc_id % 97 = 0),
+         |bsh AS (SELECT doc_id, list_transform(range(1, len(w) - 1),
+         |  i -> array_to_string(w[i:i+2], ' ')) AS sgs FROM bw),
+         |be AS (SELECT unnest(sgs) AS sg FROM bsh),
+         |bench AS MATERIALIZED (SELECT DISTINCT ${h60Sql("sg")} AS h FROM be),
+         |pw AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+         |    x -> x <> '') AS w FROM kept WHERE doc_id % 97 <> 0),
+         |psh AS (SELECT doc_id, list_transform(range(1, len(w) - 1),
+         |  i -> array_to_string(w[i:i+2], ' ')) AS sgs FROM pw),
+         |pe0 AS (SELECT doc_id, unnest(sgs) AS sg FROM psh),
+         |pe AS (SELECT doc_id, ${h60Sql("sg")} AS h FROM pe0),
+         |conta AS (SELECT DISTINCT pe.doc_id FROM pe JOIN bench USING (h)),
+         |survivors AS (SELECT k.doc_id, k.source FROM kept k
+         |  WHERE k.doc_id % 97 <> 0
+         |    AND k.doc_id NOT IN (SELECT doc_id FROM conta))
+         |SELECT source, count(*) AS n_survivors, min(doc_id) AS min_doc,
+         |  max(doc_id) AS max_doc
+         |FROM survivors GROUP BY source ORDER BY source""".stripMargin,
     // Gopher quality rules: identical micro-unit expression tree
     "text_gopher_quality" ->
       """WITH docs AS MATERIALIZED (SELECT doc_id, text AS t,
