@@ -1048,10 +1048,20 @@ object SparkEntry {
       lit("&a="), s(col("doc_id") % 7), lit("#sec"), s(col("doc_id")))
     val canon = docs0.select(col("doc_id"), col("text"), col("source"),
       TextOps.canonicalizeUrl(url).as("canon"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("canon")).orderBy(col("doc_id"))
-    val deduped = canon.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+    // keep the min doc per canonical URL via ONE hash aggregation —
+    // min(struct(doc_id, …)) is the whole row of the smallest doc_id
+    // (doc_id is unique and leads the struct) — instead of a row_number
+    // window: partial aggregation absorbs a hot canonical URL map-side
+    // (boilerplate dup'd millions of times no longer lands one straggler
+    // window task sorting the whole group — guide §2.5; r5 review
+    // flagged the window as this pipeline's skew hazard), and the
+    // canonicalizeUrl projection is evaluated once (a semi-join variant
+    // re-derived it on both sides — measured 3× slower). Same survivor
+    // set as the window's rn = 1 row.
+    val deduped = canon.groupBy(col("canon"))
+      .agg(min(struct(col("doc_id"), col("text"), col("source"))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
+        col("r.source").as("source"), col("canon"))
     val passing = TextOps.gopherQuality(deduped, col("doc_id"), col("text"))
       .filter(col("passes")).select(col("doc_id"))
     val kept = deduped.join(passing, Seq("doc_id"), "left_semi")

@@ -2167,6 +2167,8 @@ object GraphOps {
                damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val Q = 1e12
+    val cached = scala.collection.mutable.Buffer[DataFrame]()
+    def keep(df: DataFrame): DataFrame = { df.persist(); cached += df; df }
     val edges = edges0.select(col("src"), col("dst")).distinct().localCheckpoint()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct().localCheckpoint()
@@ -2194,9 +2196,10 @@ object GraphOps {
       // iteration chain then runs as one pipelined DAG at consumption;
       // a periodic checkpoint still bounds lineage depth for long runs
       ranks = if (i % 5 == 0 && i < iterations) next.localCheckpoint()
-              else next.persist()
+              else keep(next)
     }
-    ranks
+    // single materialization job + cache release (unpersist discipline)
+    materializeAndRelease(ranks, cached.toSeq)
   }
 
   val OwlSameAs = "http://www.w3.org/2002/07/owl#sameAs"
@@ -2233,39 +2236,53 @@ object GraphOps {
     * rather than returning partially-merged identities.
     */
   def resolveSameAs(quads: DataFrame, sameAsPred: String = OwlSameAs,
-                    maxIterations: Int = 20): DataFrame = {
+                    maxIterations: Int = 20,
+                    broadcastCap: Long = 50000000L): DataFrame = {
     val edges = quads
       .filter(col("pred") === sameAsPred && col("dt") === "")
       .select(col("subj").as("a"), col("obj").as("b"))
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint()
-    var labels = sym.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("component")).localCheckpoint()
-    var converged = labels.isEmpty
+    var (labels, nAlias) = org.apache.spark.sql.GraftInternal.localCheckpointWithCount(
+      sym.select(col("a").as("id")).distinct()
+        .select(col("id"), col("id").as("component")))
+    var converged = nAlias == 0
     var i = 0
     while (!converged && i < maxIterations) {
+      // the old-label join rides INSIDE the checkpointed round (one
+      // `prev` column), so the convergence test is a limit-1 probe of
+      // the already-materialized frame instead of a second shuffle join
+      // per round
       val prop = sym.join(labels, sym("a") === labels("id"))
         .select(col("b").as("id"), col("component"))
-      val next = labels.union(prop)
+      val next = labels.select(col("id"), col("component")).union(prop)
         .groupBy("id").agg(min("component").as("component"))
+        .join(labels.select(col("id"), col("component").as("prev")), Seq("id"))
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") =!= col("o.component"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("component") =!= col("prev")).isEmpty
+      labels = next.select(col("id"), col("component"))
       i += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"resolveSameAs did not converge in $maxIterations rounds " +
           "(adversarially long sameAs chain?) — raise maxIterations")
+    // size gate (r5 review #3): at web scale owl:sameAs alias sets are
+    // NOT always vocabulary-sized — hundreds of millions of cross-links
+    // force-broadcast would OOM the driver or trip the 8 GB broadcast
+    // hard cap. The alias-subgraph node count is already known from the
+    // label materialization (no extra job); past the cap every
+    // mapping-shaped join degrades to a plain shuffle join with the
+    // identical plan semantics (same pattern as schemaClosure's
+    // driver-side cap).
+    val small = nAlias <= broadcastCap
+    def bcast(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val mapping = labels.filter(col("id") =!= col("component"))
     val noSameAs = quads.filter(col("pred") =!= sameAsPred)
     val joined = noSameAs
-      .join(broadcast(mapping.select(col("id").as("s_alias"),
+      .join(bcast(mapping.select(col("id").as("s_alias"),
         col("component").as("s_canon"))), col("subj") === col("s_alias"), "left")
-      .join(broadcast(mapping.select(col("id").as("o_alias"),
+      .join(bcast(mapping.select(col("id").as("o_alias"),
         col("component").as("o_canon"))),
         col("obj") === col("o_alias") && col("dt") === "", "left")
     val untouched = joined
@@ -2282,12 +2299,12 @@ object GraphOps {
     // cliques, not the graph)
     val canonSet = mapping.select(col("component").as("c")).distinct()
     val collidable = untouched
-      .join(broadcast(canonSet), col("subj") === col("c"), "left_semi")
-      .union(untouched.join(broadcast(canonSet),
+      .join(bcast(canonSet), col("subj") === col("c"), "left_semi")
+      .union(untouched.join(bcast(canonSet),
         col("obj") === col("c") && col("dt") === "", "left_semi"))
       .distinct()
     untouched.union(
-      rewritten.join(broadcast(collidable),
+      rewritten.join(bcast(collidable),
         Seq("subj", "pred", "obj", "dt"), "left_anti"))
   }
 
@@ -2705,6 +2722,24 @@ object GraphOps {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Materialize `result` in ONE job (eager local checkpoint — the
+    * whole iteration chain runs as a single pipelined DAG with each
+    * persisted round-intermediate computed exactly once) and then
+    * release every cache entry that fed it. Two effects, both from the
+    * r5 review: fixed-round iterative ops stop paying an eager
+    * checkpoint job per round (guide §1.2 — job count was the dominant
+    * cost at bench scale), and persisted frames no longer outlive the
+    * operator call (the unpersist discipline: repeated invocations
+    * across a 116-query sweep previously accumulated cached blocks
+    * until LRU pressure).
+    */
+  private def materializeAndRelease(result: DataFrame,
+                                    cached: Seq[DataFrame]): DataFrame = {
+    val out = result.localCheckpoint()
+    cached.foreach(df => try df.unpersist(false) catch { case _: Exception => () })
+    out
+  }
+
   /** HITS (Kleinberg) hub/authority scores over a directed edge list,
     * fixed `iterations` rounds of the mutual recurrence with L1
     * normalization: `auth ∝ Σ hub(in-neighbors)`, then
@@ -2732,7 +2767,12 @@ object GraphOps {
     var hub = nodes.select(col("node"), lit(1.0).as("hub"))
     var auth: DataFrame = null
     for (i <- 1 to iterations) {
-      // auth step: quantize hub, sum into each edge target, L1-normalize
+      // auth step: quantize hub, sum into each edge target, L1-normalize.
+      // Per-round localCheckpoint instead of the previous persist():
+      // r5 flagged the persists as a cache LEAK (never unpersisted,
+      // accumulating across the 116-query sweep); checkpointed rounds
+      // self-release via the ContextCleaner and keep the AQE-coalesced
+      // partitioning, so a 20-iteration run no longer grows the cache.
       val hq = hub.select(col("node"), floor(col("hub") * Q).cast("long").as("q"))
       val aSum = edges.join(hq, edges("src") === hq("node"))
         .groupBy(col("dst").as("node")).agg(sum(col("q")).as("qs"))
@@ -2741,7 +2781,7 @@ object GraphOps {
         .crossJoin(broadcast(aTot))
         .select(col("node"),
           (coalesce(col("qs"), lit(0L)).cast("double") / col("tot")).as("auth"))
-        .persist()
+        .localCheckpoint()
       // hub step: quantize auth, sum into each edge source, L1-normalize
       val aq = auth.select(col("node"), floor(col("auth") * Q).cast("long").as("q"))
       val hSum = edges.join(aq, edges("dst") === aq("node"))
@@ -2751,8 +2791,7 @@ object GraphOps {
         .crossJoin(broadcast(hTot))
         .select(col("node"),
           (coalesce(col("qs"), lit(0L)).cast("double") / col("tot")).as("hub"))
-      hub = if (i % 5 == 0 && i < iterations) hub.localCheckpoint()
-            else hub.persist()
+        .localCheckpoint()
     }
     hub.join(auth, Seq("node"))
   }
@@ -2784,18 +2823,29 @@ object GraphOps {
   def shortestPaths(edges0: DataFrame, sources: DataFrame,
                     maxIterations: Int = 30): DataFrame = {
     val edges = edges0.select(col("src"), col("dst")).distinct().localCheckpoint()
-    var dist = sources.select(col("node")).distinct()
-      .select(col("node"), lit(0L).as("distance")).localCheckpoint()
-    var frontier = dist
+    // ONE job per BFS level: the frontier checkpoint's materialization
+    // count doubles as the liveness test, and `dist` needs no checkpoint
+    // of its own — it is a plain union of the already-materialized
+    // frontier frames (guide §1.2: previously 3 jobs per level, and the
+    // level count is the tree depth, so this is the whole query's cost)
+    var (frontier0, nFrontier) = org.apache.spark.sql.GraftInternal.localCheckpointWithCount(
+      sources.select(col("node")).distinct()
+        .select(col("node"), lit(0L).as("distance")))
+    var frontier = frontier0
+    var dist = frontier
     var i = 0
-    var live = !frontier.isEmpty
+    var live = nFrontier > 0
     while (live && i < maxIterations) {
-      frontier = frontier.join(edges, frontier("node") === edges("src"))
-        .select(col("dst").as("node"), (col("distance") + 1).as("distance"))
-        .distinct()
-        .join(dist, Seq("node"), "left_anti")
-        .localCheckpoint()
-      live = !frontier.isEmpty
+      val (f, nf) = org.apache.spark.sql.GraftInternal.localCheckpointWithCount(
+        frontier.join(edges, frontier("node") === edges("src"))
+          .select(col("dst").as("node"), (col("distance") + 1).as("distance"))
+          .distinct()
+          .join(dist, Seq("node"), "left_anti"))
+      frontier = f
+      live = nf > 0
+      // the settled table stays ONE materialized frame: a growing union
+      // of per-level RDD scans re-shuffles every prior level each round
+      // (measured slower than the checkpoint it saves)
       if (live) dist = dist.union(frontier).localCheckpoint()
       i += 1
     }
@@ -2823,15 +2873,18 @@ object GraphOps {
     * skos:broader), not social graphs.
     */
   def transitiveClosure(edges: DataFrame, maxIterations: Int = 20): DataFrame = {
-    var paths = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
-    var n = paths.count()
+    // checkpoint+count fused into ONE job per round (the count IS the
+    // materialization the checkpoint runs anyway) — guide §1.2: halve
+    // the per-round driver actions before tuning anything else
+    var (paths, n) = org.apache.spark.sql.GraftInternal.localCheckpointWithCount(
+      edges.select(col("src"), col("dst")).distinct())
     var converged = n == 0
     var i = 0
     while (!converged && i < maxIterations) {
       val doubled = paths.as("l").join(paths.as("r"), col("l.dst") === col("r.src"))
         .select(col("l.src").as("src"), col("r.dst").as("dst"))
-      val next = paths.union(doubled).distinct().localCheckpoint()
-      val m = next.count()
+      val (next, m) = org.apache.spark.sql.GraftInternal.localCheckpointWithCount(
+        paths.union(doubled).distinct())
       converged = m == n
       paths = next
       n = m
@@ -2860,7 +2913,7 @@ object GraphOps {
   def updateClosure(closure: DataFrame, newEdges: DataFrame,
                     maxIterations: Int = 20): DataFrame = {
     val c = closure.select(col("src"), col("dst")).localCheckpoint()
-    val fresh = closureDelta(c, newEdges, maxIterations)
+    val fresh = closureDeltaOn(c, newEdges, maxIterations)
     // disjoint by construction (closureDelta anti-joins the stored set),
     // so the merge is a plain append — NOT a whole-closure distinct():
     // at stored-table scale the old closure never reshuffles
@@ -2885,22 +2938,32 @@ object GraphOps {
     * broadcast; the per-round self-join never touches C at all.
     */
   def closureDelta(closure: DataFrame, newEdges: DataFrame,
-                   maxIterations: Int = 20): DataFrame = {
-    val c = closure.select(col("src"), col("dst")).localCheckpoint()
-    val edges = newEdges.select(col("src"), col("dst")).distinct().localCheckpoint()
-    if (edges.isEmpty) return edges // empty frame, right schema
+                   maxIterations: Int = 20): DataFrame =
+    closureDeltaOn(closure.select(col("src"), col("dst")).localCheckpoint(),
+      newEdges, maxIterations)
+
+  /** [[closureDelta]] over an ALREADY-materialized closure frame —
+    * [[updateClosure]] checkpoints the stored closure once and both its
+    * consumers (the delta joins here and the final append) read that one
+    * materialization instead of each paying their own checkpoint job.
+    */
+  private def closureDeltaOn(c: DataFrame, newEdges: DataFrame,
+                             maxIterations: Int): DataFrame = {
+    val (edges, nEdges) = org.apache.spark.sql.GraftInternal.localCheckpointWithCount(
+      newEdges.select(col("src"), col("dst")).distinct())
+    if (nEdges == 0) return edges // empty frame, right schema
     def chain(l: DataFrame, r: DataFrame): DataFrame =
       l.as("l").join(r.as("r"), col("l.dst") === col("r.src"))
         .select(col("l.src").as("src"), col("r.dst").as("dst"))
     val cEdges = chain(c, edges)
-    var delta = edges.union(cEdges).union(chain(edges, c)).union(chain(cEdges, c))
-      .distinct().localCheckpoint()
-    var n = delta.count()
+    // checkpoint+count fused per round, same as transitiveClosure
+    var (delta, n) = org.apache.spark.sql.GraftInternal.localCheckpointWithCount(
+      edges.union(cEdges).union(chain(edges, c)).union(chain(cEdges, c)).distinct())
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
-      val next = delta.union(chain(delta, delta)).distinct().localCheckpoint()
-      val m = next.count()
+      val (next, m) = org.apache.spark.sql.GraftInternal.localCheckpointWithCount(
+        delta.union(chain(delta, delta)).distinct())
       converged = m == n
       delta = next
       n = m

@@ -28,6 +28,26 @@ object GraftInternal {
       classic.queryExecution.toRdd.mapPartitions(f), classic.schema)
   }
 
+  /** Eager local checkpoint that ALSO returns the row count from the
+    * same materialization job. Iterative fixpoint loops (transitive
+    * closure, delta iteration) previously paid two jobs per round —
+    * `localCheckpoint()` (which internally materializes every partition)
+    * followed by a separate `count()` for the convergence test. This
+    * mirrors `Dataset.localCheckpoint`'s own implementation
+    * (`queryExecution.toRdd.map(_.copy()).localCheckpoint()`) but keeps
+    * the count the materialization already produces, halving the
+    * per-round driver actions (optimization guide §1.2: fix the
+    * algorithm's job structure before per-task work).
+    */
+  def localCheckpointWithCount(df: DataFrame): (DataFrame, Long) = {
+    val classic = df.asInstanceOf[ClassicDataFrame]
+    val spark = classic.sparkSession.asInstanceOf[ClassicSparkSession]
+    val rdd = classic.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    val n = rdd.count()
+    (spark.internalCreateDataFrame(rdd, classic.schema), n)
+  }
+
   /** Drain the async listener bus (accessor is `private[spark]`):
     * metric listeners (e.g. per-run shuffle-byte accounting in
     * graft.Bench) must see every completed stage before a snapshot is

@@ -1231,6 +1231,40 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("y:1", "p:v", "2", XsdInteger)))
   }
 
+  test("resolveSameAs: shuffle-join fallback (broadcastCap = 0) matches the broadcast path") {
+    // r6: the alias→canon mapping is size-gated — past broadcastCap every
+    // mapping-shaped join degrades to a plain shuffle join. Same quads in,
+    // identical resolved graph out on both paths.
+    val kg = quads(
+      ("n:b", GraphOps.OwlSameAs, "n:c", ""),
+      ("n:c", GraphOps.OwlSameAs, "n:a", ""),
+      ("n:a", "p:name", "ann", XsdString),
+      ("n:b", "p:name", "ann", XsdString),
+      ("n:c", "p:note", "extra", XsdString),
+      ("d:1", "p:ref", "n:b", ""),
+      ("d:1", "p:tag", "n:b", XsdString))
+    val expected = Set(
+      ("n:a", "p:name", "ann", XsdString),
+      ("n:a", "p:note", "extra", XsdString),
+      ("d:1", "p:ref", "n:a", ""),
+      ("d:1", "p:tag", "n:b", XsdString))
+    assert(asSet(GraphOps.resolveSameAs(kg, broadcastCap = 0L)) == expected)
+    assert(asSet(GraphOps.resolveSameAs(kg)) == expected)
+  }
+
+  test("hits: 20 iterations leave no persisted frames behind (unpersist discipline)") {
+    val sp = spark; import sp.implicits._
+    sp.catalog.clearCache()
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+      .toDF("src", "dst")
+    val out = GraphOps.hits(edges, iterations = 20)
+    assert(out.count() == 3)
+    // r6: per-round state is localCheckpoint'ed (self-releasing), not
+    // persist'ed — a long run must not grow the CacheManager at all
+    assert(sp.sharedState.cacheManager.isEmpty,
+      "hits left persisted frames in the CacheManager")
+  }
+
   // --------------------------------------------- RDFS materialization
 
   private val RdfType = GraphOps.RdfTypeIri

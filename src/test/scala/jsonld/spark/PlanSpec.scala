@@ -194,6 +194,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("curation URL dedup is an aggregation with map-side partials, not a window") {
+    // r6: the row_number window over partitionBy(canon) was this
+    // pipeline's skew hazard (one hot canonical URL = one straggler task
+    // sorting the whole group); the min(struct(...)) aggregation gets
+    // partial aggregation instead. The plan must carry NO Window operator
+    // and must aggregate min over the doc struct.
+    val p = plan(SparkEntry.curationPipeline(spark, sfDir))
+    assert(!p.contains("Window"), s"window survived in curation plan:\n$p")
+    assert(p.contains("Aggregate") && p.contains("min("),
+      s"min-aggregate dedup missing from curation plan:\n$p")
+  }
+
   test("transitiveClosure raises instead of returning a partial closure") {
     import graft.ops.GraphOps
     val sp = spark; import sp.implicits._
