@@ -164,9 +164,30 @@ object Rdf {
 
   /** Plausibility check for http(s) IRIs, mirroring the behavior the W3C
     * toRdf suite expects (quads with junk http IRIs are dropped).
+    *
+    * PERF: the check costs a `java.net.URI` parse, and [[quadValid]] runs
+    * it on every http(s) node of every quad — including the xsd datatype
+    * IRI of every literal — so on the pipeline hot path the SAME strings
+    * (vocabulary predicates, datatypes, each doc's subject) are parsed
+    * thousands of times. Memoized per thread (task threads are reused
+    * executor-side); pure function, bounded map, cleared when full.
     */
+  private val validIriCache = new ThreadLocal[java.util.HashMap[String, java.lang.Boolean]] {
+    override def initialValue() = new java.util.HashMap[String, java.lang.Boolean](256)
+  }
+
   def validIri(v: String): Boolean = {
     if (!(v.startsWith("http://") || v.startsWith("https://"))) return true
+    val cache = validIriCache.get()
+    val hit = cache.get(v)
+    if (hit != null) return hit.booleanValue
+    val r = computeValidIri(v)
+    if (cache.size >= 16384) cache.clear() // bound per-thread footprint
+    cache.put(v, java.lang.Boolean.valueOf(r))
+    r
+  }
+
+  private def computeValidIri(v: String): Boolean = {
     // no upper length cap: 2083 is a legacy browser URL limit, not IRI
     // well-formedness — long IRIs are valid and must not lose triples
     if (v.length < 10) return false
