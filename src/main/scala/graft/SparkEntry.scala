@@ -662,7 +662,13 @@ object SparkEntry {
       "ADD <urn:g:region/1> TO DEFAULT",
       "MOVE <urn:g:region/2> TO <urn:g:archive>",
       "CLEAR GRAPH <urn:g:meta>")
-    steps.foldLeft(kgNamedGraphQuads(spark, dir))(GraphOps.updateQuadsQuery)
+    // each management op COMMITS before the next reads (real graph stores
+    // apply updates sequentially against stored state) — materializing
+    // between steps also stops the lazy fold from re-evaluating the base
+    // quad build once per untouched-slice branch (2^steps blow-up)
+    steps.foldLeft(kgNamedGraphQuads(spark, dir)) { (acc, q) =>
+      GraphOps.updateQuadsQuery(acc, q).localCheckpoint()
+    }
       .groupBy(col("graph"))
       .agg(count(lit(1)).as("n_quads"), countDistinct(col("pred")).as("n_preds"))
       .orderBy("graph")
@@ -1031,9 +1037,8 @@ object SparkEntry {
     * URL canonicalization → exact-URL dedup (min doc per canonical) →
     * Gopher quality gate → 3-gram benchmark decontamination →
     * per-source survivor report. Each stage is a stage-local
-    * shuffle-or-less plan; the composition stays one lazy DAG (no
-    * intermediate materialization), which is exactly how the 100 TB
-    * deployment chains them.
+    * shuffle-or-less plan; the one materialization is the post-gate
+    * survivor set (see below), which bounds the branch fan-out.
     */
   def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
     val s = (c: org.apache.spark.sql.Column) => c.cast("string")
@@ -1064,7 +1069,14 @@ object SparkEntry {
         col("r.source").as("source"), col("canon"))
     val passing = TextOps.gopherQuality(deduped, col("doc_id"), col("text"))
       .filter(col("passes")).select(col("doc_id"))
-    val kept = deduped.join(passing, Seq("doc_id"), "left_semi")
+    // materialize the dedup+quality survivors ONCE: downstream the set is
+    // consumed four times (the contamination probe shingles it twice and
+    // the final report joins it again), and a fully lazy DAG re-ran the
+    // URL-canonicalize + dedup-aggregate chain per consumer (guide §5:
+    // cut the plan where reuse is real). At 100 TB this boundary is
+    // precisely the intermediate a production curation run stores — the
+    // post-gate corpus is the artifact later stages (and training) read.
+    val kept = deduped.join(passing, Seq("doc_id"), "left_semi").localCheckpoint()
     val probe = kept.filter(col("doc_id") % 97 =!= 0)
     val clean = TextOps.contamination(probe, col("doc_id"), col("text"),
         docs0.filter(col("doc_id") % 97 === 0), col("text"), n = 3)

@@ -2593,18 +2593,21 @@ object GraphOps {
       .join(seedsFixed, Seq("node"), "left")
       .select(col("node"), col("seed_label").as("label"))
       .localCheckpoint()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("node")).orderBy(col("c").desc, col("label").asc)
     for (_ <- 1 to iterations) {
       val nb = und.join(
           labels.filter(col("label").isNotNull)
             .select(col("node").as("src"), col("label")), Seq("src"))
         .select(col("dst").as("node"), col("label"))
+      // majority argmax as TWO hash aggregations instead of a row_number
+      // window: min(struct(-count, label)) is exactly "max count, ties to
+      // the lexicographically smallest label", and both aggregation
+      // levels get map-side partials — no per-node sort task, skew-safe
+      // on a hub node's neighbor list (guide §2.5)
       val picked = nb.groupBy(col("node"), col("label"))
         .agg(count(lit(1)).as("c"))
-        .select(col("node"), col("label"), row_number().over(w).as("rn"))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("label").as("new_label"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
+        .select(col("node"), col("m.label").as("new_label"))
       labels = labels.join(picked, Seq("node"), "left")
         .join(seedsFixed, Seq("node"), "left")
         .select(col("node"),
