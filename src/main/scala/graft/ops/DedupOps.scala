@@ -244,17 +244,25 @@ object DedupOps {
     // to |touched(E)| — the difference between iterating over 10^12 docs
     // and over the dup subgraph.
     val touched = sym.select(col("a").as("id")).distinct()
-    var labels = touched.select(col("id"), col("id").as("component")).localCheckpoint()
-    var prevSum = labels.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+    // the decimal label-sum convergence checksum is computed DURING each
+    // round's checkpoint materialization (a cast column summed in the
+    // same pass), not as a separate per-round aggregation action
+    def sumCheckpoint(df: DataFrame): (DataFrame, Long, java.math.BigDecimal) = {
+      val (d, n, s) = org.apache.spark.sql.GraftInternal
+        .localCheckpointWithCountAndDecimalSum(
+          df.withColumn("__cs", col("component").cast("decimal(38,0)")), "__cs")
+      (d.select(col("id"), col("component")), n, s)
+    }
+    var (labels, _, prevSum) =
+      sumCheckpoint(touched.select(col("id"), col("id").as("component")))
     var converged = prevSum == null // no edges at all → nothing to iterate
     var i = 0
     while (!converged && i < maxIterations) {
       val prop = sym.join(labels, sym("a") === labels("id"))
         .select(col("b").as("id"), col("component"))
-      labels = labels.union(prop)
-        .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint()
-      val s = labels.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+      val (next, _, s) = sumCheckpoint(labels.union(prop)
+        .groupBy("id").agg(min("component").as("component")))
+      labels = next
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       i += 1
@@ -306,15 +314,18 @@ object DedupOps {
     */
   def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
                               maxIterations: Int = 30): DataFrame = {
-    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = e.agg(count(lit(1)),
-        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).head()
-      (r.getLong(0),
-        Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    // the (count, edge-hash-sum) fixpoint checksum is computed DURING the
+    // round's checkpoint materialization, not as a separate action
+    def checksummedCheckpoint(e0: DataFrame): (DataFrame, (Long, java.math.BigDecimal)) = {
+      val (d, n, s) = org.apache.spark.sql.GraftInternal
+        .localCheckpointWithCountAndDecimalSum(
+          e0.withColumn("__h",
+            xxhash64(col("a"), col("b")).cast("decimal(38,0)")), "__h")
+      (d.select(col("a"), col("b")),
+        (n, Option(s).getOrElse(java.math.BigDecimal.ZERO)))
     }
-    var e = edges.select(col("a"), col("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
-    var prev = checksum(e)
+    var (e, prev) = checksummedCheckpoint(edges.select(col("a"), col("b"))
+      .filter(col("a") =!= col("b")).distinct())
     var converged = prev._1 == 0 // no non-loop edges → nothing to iterate
     var i = 0
     while (!converged && i < maxIterations) {
@@ -332,10 +343,10 @@ object DedupOps {
         least(col("a"), col("b")).as("v"))
       val mins2 = canon.groupBy("u").agg(min("v").as("m"))
       val withM = canon.join(mins2, "u")
-      val ss = withM.select(col("v").as("a"), col("m").as("b"))
-        .union(withM.select(col("u").as("a"), col("m").as("b")))
-        .filter(col("a") =!= col("b")).distinct().localCheckpoint()
-      val cs = checksum(ss)
+      val (ss, cs) = checksummedCheckpoint(
+        withM.select(col("v").as("a"), col("m").as("b"))
+          .union(withM.select(col("u").as("a"), col("m").as("b")))
+          .filter(col("a") =!= col("b")).distinct())
       converged = cs == prev
       prev = cs
       e = ss

@@ -2250,16 +2250,19 @@ object GraphOps {
     var i = 0
     while (!converged && i < maxIterations) {
       // the old-label join rides INSIDE the checkpointed round (one
-      // `prev` column), so the convergence test is a limit-1 probe of
-      // the already-materialized frame instead of a second shuffle join
-      // per round
+      // `prev` column), and the convergence test — any label changed? —
+      // is a boolean column counted DURING the checkpoint
+      // materialization: one driver action per round, no separate probe
       val prop = sym.join(labels, sym("a") === labels("id"))
         .select(col("b").as("id"), col("component"))
-      val next = labels.select(col("id"), col("component")).union(prop)
-        .groupBy("id").agg(min("component").as("component"))
-        .join(labels.select(col("id"), col("component").as("prev")), Seq("id"))
-        .localCheckpoint()
-      converged = next.filter(col("component") =!= col("prev")).isEmpty
+      val (next, _, nChanged) =
+        org.apache.spark.sql.GraftInternal.localCheckpointWithPredCount(
+          labels.select(col("id"), col("component")).union(prop)
+            .groupBy("id").agg(min("component").as("component"))
+            .join(labels.select(col("id"), col("component").as("prev")), Seq("id"))
+            .withColumn("__changed", col("component") =!= col("prev")),
+          "__changed")
+      converged = nChanged == 0
       labels = next.select(col("id"), col("component"))
       i += 1
     }
@@ -2295,14 +2298,21 @@ object GraphOps {
       .distinct()
     // a rewritten triple can only equal an untouched one if the untouched
     // row's subject is canonical, or its IRI object is — both slices are
-    // broadcast-semi-join-selectable and small (sized by the alias
-    // cliques, not the graph)
+    // broadcast-join-selectable and small (sized by the alias cliques,
+    // not the graph). One scan with two left joins and an OR filter, not
+    // a union of two semi-joins: the graph pass behind `untouched` (scan
+    // + both mapping joins) is expensive and the union form evaluated it
+    // twice, plus a distinct shuffle. canonSet is distinct so each left
+    // join matches at most once and no row duplicates — and the anti-join
+    // below is multiplicity-insensitive anyway.
     val canonSet = mapping.select(col("component").as("c")).distinct()
     val collidable = untouched
-      .join(bcast(canonSet), col("subj") === col("c"), "left_semi")
-      .union(untouched.join(bcast(canonSet),
-        col("obj") === col("c") && col("dt") === "", "left_semi"))
-      .distinct()
+      .join(bcast(canonSet.select(col("c").as("c_s"))),
+        col("subj") === col("c_s"), "left")
+      .join(bcast(canonSet.select(col("c").as("c_o"))),
+        col("obj") === col("c_o") && col("dt") === "", "left")
+      .filter(col("c_s").isNotNull || col("c_o").isNotNull)
+      .select(col("subj"), col("pred"), col("obj"), col("dt"))
     untouched.union(
       rewritten.join(bcast(collidable),
         Seq("subj", "pred", "obj", "dt"), "left_anti"))
@@ -2543,11 +2553,17 @@ object GraphOps {
       .distinct().localCheckpoint()
     var i = 0
     while (i < maxIterations) {
-      val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("core_degree"))
-        .localCheckpoint()
+      // the "any node below k?" probe is counted during the degree
+      // checkpoint's own materialization — one action per peeling round
+      val (deg, _, nBelow) =
+        org.apache.spark.sql.GraftInternal.localCheckpointWithPredCount(
+          und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+            .groupBy("node").agg(count(lit(1)).as("core_degree"))
+            .withColumn("__below", col("core_degree") < k),
+          "__below")
       val keep = deg.filter(col("core_degree") >= k)
-      if (deg.filter(col("core_degree") < k).isEmpty) return keep
+        .select(col("node"), col("core_degree"))
+      if (nBelow == 0) return keep
       und = und
         .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")

@@ -479,4 +479,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"),
       s"embedding near-dup degenerated to all-pairs:\n$p2")
   }
+
+  test("localCheckpointWithPredCount: counts ride the materialization and match SQL") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, true), (2L, false), (3L, true), (4L, true))
+      .toDF("id", "flag")
+      .withColumn("flag", when(col("id") === 2L, lit(null)).otherwise(col("flag")))
+    val (out, n, nTrue) =
+      org.apache.spark.sql.GraftInternal.localCheckpointWithPredCount(df, "flag")
+    assert(n == 4L && nTrue == 3L) // null counts as not-true, like a SQL filter
+    assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    val (_, n0, t0) = org.apache.spark.sql.GraftInternal
+      .localCheckpointWithPredCount(df.filter(col("id") > 100), "flag")
+    assert(n0 == 0L && t0 == 0L)
+  }
+
+  test("localCheckpointWithCountAndDecimalSum matches SQL sum incl. null cases") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(Some(10L), Some(20L), None, Some(30L)).toDF("v")
+      .withColumn("__cs", col("v").cast("decimal(38,0)"))
+    val (out, n, s) = org.apache.spark.sql.GraftInternal
+      .localCheckpointWithCountAndDecimalSum(df, "__cs")
+    assert(n == 4L && s.compareTo(new java.math.BigDecimal(60)) == 0)
+    assert(out.count() == 4L)
+    // all-null and empty frames sum to null, mirroring SQL sum()
+    val allNull = Seq("a", "b").toDF("v")
+      .withColumn("__cs", lit(null).cast("decimal(38,0)"))
+    val (_, n1, s1) = org.apache.spark.sql.GraftInternal
+      .localCheckpointWithCountAndDecimalSum(allNull, "__cs")
+    assert(n1 == 2L && s1 == null)
+    val (_, n2, s2) = org.apache.spark.sql.GraftInternal
+      .localCheckpointWithCountAndDecimalSum(allNull.filter(col("v") === "zz"), "__cs")
+    assert(n2 == 0L && s2 == null)
+  }
 }
