@@ -41,6 +41,12 @@ object DebugCore {
       val opts = JsonLdOptions(base = "graft://x", documentLoader = loader)
       stage("parse")(Json.parse(body))
       val parsed = Json.parse(body)
+      parsed match { // how much of expand is the inline-@context parse?
+        case m: Json.JObj @unchecked if m.contains("@context") =>
+          val ctxJson = m("@context")
+          stage("ctxparse")(new Context(opts).parse(ctxJson))
+        case _ =>
+      }
       stage("expand")(Processor.expand(Json.deepClone(parsed), opts))
       val expanded = Processor.expand(Json.parse(body), opts)
       stage("toRdf")(ToRdf.toRdf(expanded, opts))
