@@ -2943,7 +2943,14 @@ object GraphOps {
     */
   def updateClosure(closure: DataFrame, newEdges: DataFrame,
                     maxIterations: Int = 20): DataFrame = {
-    val c = closure.select(col("src"), col("dst")).localCheckpoint()
+    // skip the defensive checkpoint when the caller hands us a frame
+    // that is ALREADY a materialized (src, dst) RDD — e.g. fresh out of
+    // [[transitiveClosure]] — re-checkpointing it is a pure O(|closure|)
+    // copy job on the biggest frame of the query
+    val c =
+      if (org.apache.spark.sql.GraftInternal
+            .isMaterializedWithColumns(closure, Seq("src", "dst"))) closure
+      else closure.select(col("src"), col("dst")).localCheckpoint()
     val fresh = closureDeltaOn(c, newEdges, maxIterations)
     // disjoint by construction (closureDelta anti-joins the stored set),
     // so the merge is a plain append — NOT a whole-closure distinct():
@@ -2970,7 +2977,10 @@ object GraphOps {
     */
   def closureDelta(closure: DataFrame, newEdges: DataFrame,
                    maxIterations: Int = 20): DataFrame =
-    closureDeltaOn(closure.select(col("src"), col("dst")).localCheckpoint(),
+    closureDeltaOn(
+      if (org.apache.spark.sql.GraftInternal
+            .isMaterializedWithColumns(closure, Seq("src", "dst"))) closure
+      else closure.select(col("src"), col("dst")).localCheckpoint(),
       newEdges, maxIterations)
 
   /** [[closureDelta]] over an ALREADY-materialized closure frame —

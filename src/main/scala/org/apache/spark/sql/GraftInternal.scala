@@ -113,6 +113,20 @@ object GraftInternal {
     (spark.internalCreateDataFrame(rdd, classic.schema), n, if (any) sum else null)
   }
 
+  /** True when `df` is ALREADY a materialized RDD (a local/reliable
+    * checkpoint or an internally-created frame over concrete rows) whose
+    * columns are exactly `cols` — i.e. re-checkpointing it would be a
+    * pure copy. Lets operators that defensively materialize an input
+    * (e.g. updateClosure's stored-closure checkpoint) skip the redundant
+    * O(rows) copy job when the caller hands them a frame that a sibling
+    * operator just materialized.
+    */
+  def isMaterializedWithColumns(df: DataFrame, cols: Seq[String]): Boolean = {
+    val lp = df.asInstanceOf[ClassicDataFrame].queryExecution.logical
+    lp.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD] &&
+      lp.output.map(_.name) == cols
+  }
+
   /** Drain the async listener bus (accessor is `private[spark]`):
     * metric listeners (e.g. per-run shuffle-byte accounting in
     * graft.Bench) must see every completed stage before a snapshot is
