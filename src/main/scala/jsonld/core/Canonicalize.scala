@@ -65,10 +65,13 @@ final class Canonicalizer(algorithm: String = "URDNA2015",
           else if (graphName.startsWith("_:")) q0.copy(graph = RBlank(graphName))
           else q0.copy(graph = RIri(graphName))
         quads += q
-        Seq(q.subject, q.obj, q.graph).foreach {
+        // explicit per-position matches: a Seq(...) wrapper here allocates
+        // on every quad of every document (hot path)
+        def note(n: RdfNode): Unit = n match {
           case RBlank(id) => blankQuads.getOrElseUpdate(id, mutable.ArrayBuffer.empty) += q
           case _ =>
         }
+        note(q.subject); note(q.obj); note(q.graph)
       }
     }
 

@@ -92,8 +92,30 @@ object Rdf {
 
   def escape(str: String): String = {
     val sb = new StringBuilder(str.length + 8)
+    appendEscaped(sb, str)
+    sb.toString
+  }
+
+  /** [[escape]] fused into the caller's builder. Fast path first: almost
+    * every IRI / literal on the pipeline hot path contains none of the
+    * five escapable characters, so scan for one and, if absent, append
+    * the original string in ONE bulk copy instead of char-by-char through
+    * a second builder (toNQuad runs 3–4 escapes per quad × every quad of
+    * every document — the intermediate String per term was measured as
+    * the dominant c14n allocation on zero-bnode documents).
+    */
+  private def appendEscaped(sb: StringBuilder, str: String): Unit = {
     var i = 0
-    while (i < str.length) {
+    val n = str.length
+    var clean = true
+    while (clean && i < n) {
+      val c = str.charAt(i)
+      if (c == '\\' || c == '"' || c == '\n' || c == '\r' || c == '\t') clean = false
+      else i += 1
+    }
+    if (clean) { sb.append(str); return }
+    if (i > 0) sb.append(str.substring(0, i)) // rare path: something to escape
+    while (i < n) {
       str.charAt(i) match {
         case '\\' => sb.append("\\\\")
         case '"' => sb.append("\\\"")
@@ -104,31 +126,30 @@ object Rdf {
       }
       i += 1
     }
-    sb.toString
   }
 
   /** One N-Quads line (with trailing " .\n"). graphName "" = default graph. */
   def toNQuad(q: Quad, graphName: String): String = {
     val sb = new StringBuilder(128)
     q.subject match {
-      case RIri(v) => sb.append('<').append(escape(v)).append('>')
+      case RIri(v) => sb.append('<'); appendEscaped(sb, v); sb.append('>')
       case n => sb.append(n.value)
     }
     q.predicate match {
-      case RIri(v) => sb.append(" <").append(escape(v)).append("> ")
-      case n => sb.append(' ').append(escape(n.value)).append(' ')
+      case RIri(v) => sb.append(" <"); appendEscaped(sb, v); sb.append("> ")
+      case n => sb.append(' '); appendEscaped(sb, n.value); sb.append(' ')
     }
     q.obj match {
-      case RIri(v) => sb.append('<').append(escape(v)).append('>')
+      case RIri(v) => sb.append('<'); appendEscaped(sb, v); sb.append('>')
       case RBlank(v) => sb.append(v)
       case RLiteral(v, dt, lang) =>
-        sb.append('"').append(escape(v)).append('"')
+        sb.append('"'); appendEscaped(sb, v); sb.append('"')
         if (dt == RdfLangString) sb.append('@').append(lang)
-        else if (dt != XsdString) sb.append("^^<").append(escape(dt)).append('>')
+        else if (dt != XsdString) { sb.append("^^<"); appendEscaped(sb, dt); sb.append('>') }
     }
     if (graphName != null && graphName.nonEmpty && graphName != "@default") {
       if (graphName.startsWith("_:")) sb.append(' ').append(graphName)
-      else sb.append(" <").append(escape(graphName)).append('>')
+      else { sb.append(" <"); appendEscaped(sb, graphName); sb.append('>') }
     }
     sb.append(" .\n")
     sb.toString
